@@ -1,0 +1,12 @@
+"""Test harness configuration.
+
+Tests run on a virtual 8-device CPU mesh so that sharding logic is exercised
+without TPU hardware; this must be set before JAX initializes its backends.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
