@@ -1,0 +1,210 @@
+"""TPU runtime: lax.scan over time, vmapped over a lane axis.
+
+The host per-sample loop (/root/reference/src/ACME.jl:650-715) becomes::
+
+    carry = (x, warm starts per subsystem, convergence stats)
+    (carry, (y, conv)) = lax.scan(step, carry, u_time_major)
+
+where ``step`` performs the ordered subsystem chain (each subsystem's p
+depends on the z of earlier subsystems in the *same* sample, ACME.jl:675-697)
+with batched GEMVs over lanes, and each subsystem solve is the masked
+Newton+homotopy of acme_tpu.ops.newton vmapped over lanes.
+
+Lanes are independent circuit instances (parameter sweeps via pot inputs,
+audio channels, voices): the north-star scaling axis.  No communication is
+needed between lanes, so multi-chip scaling is pure data-parallel sharding of
+the lane axis (see acme_tpu.parallel).
+
+Failure semantics: the reference warns on non-convergence and errors on
+non-finite results mid-run (ACME.jl:688-694); here convergence flags are
+per-lane per-sample outputs surfaced after the scan (RunInfo), and `run`
+raises/warns on the host afterwards to match.
+"""
+
+from __future__ import annotations
+
+import warnings
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .model import DiscreteModel
+from .ops.newton import WarmStart, make_subsystem_solver
+
+__all__ = ["CompiledModel", "compile_model", "RunInfo"]
+
+
+class RunInfo(NamedTuple):
+    converged: jnp.ndarray   # (T, L) bool
+    iters: jnp.ndarray       # (T, L) int32 total Newton iterations
+
+
+class CompiledModel:
+    """A DiscreteModel frozen to device arrays with a jitted scan runtime.
+
+    ``dtype`` defaults to float64 (requires jax_enable_x64, on by default in
+    this package) for reference parity; pass jnp.float32 for speed.
+    ``tol`` defaults to the reference's 1e-10 for float64 and 5e-4 for
+    float32 (residuals are in Ampere/Volt-scale units).
+    """
+
+    def __init__(self, model: DiscreteModel, *, dtype=None, tol=None,
+                 newton_maxiter=500, homotopy=True, warn=True):
+        if dtype is None:
+            dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+        self.dtype = dtype
+        if tol is None:
+            tol = 1e-10 if dtype == jnp.float64 else 5e-4
+        self.tol = float(tol)
+        self.homotopy = homotopy
+        self.warn = warn
+
+        D = lambda m: jnp.asarray(m, dtype)
+        self.a, self.b, self.c = D(model.a), D(model.b), D(model.c)
+        self.x0 = D(model.x0)
+        self.dy, self.ey, self.fy = D(model.dy), D(model.ey), D(model.fy)
+        self.y0 = D(model.y0)
+        self.nx = model.nx
+        self.nu = model.nu
+        self.ny = model.ny
+        self.nn_total = model.nn()
+        self.nsub = model.nsubsystems
+
+        self.subs = []
+        self._solvers = []
+        off = 0
+        for k in range(model.nsubsystems):
+            sub = {
+                "dq": D(model.dqs[k]), "eq": D(model.eqs[k]),
+                "fqprev": D(model.fqprevs[k]), "fq": D(model.fqs[k]),
+                "pexp": D(model.pexps[k]), "q0": D(model.q0s[k]),
+                "off": off, "nn": model.nn(k), "np": model.np(k),
+            }
+            off += model.nn(k)
+            self.subs.append(sub)
+            solve = make_subsystem_solver(
+                model.nl_funcs[k], sub["fq"], sub["pexp"], sub["q0"],
+                tol=self.tol, maxiter=newton_maxiter, homotopy=homotopy)
+            self._solvers.append(jax.vmap(solve))
+
+        # initial warm starts: origin (p=0, z=init_z) with dz/dp evaluated
+        # there, exactly as the reference solver constructors do
+        # (ACME.jl:253-260, solvers.jl:164-178)
+        self._init_warm = []
+        for k, sub in enumerate(self.subs):
+            p0 = np.zeros(sub["np"])
+            z0 = np.asarray(model.init_zs[k], float)
+            q = np.asarray(model.q0s[k]) + np.asarray(model.pexps[k]) @ p0 \
+                + np.asarray(model.fqs[k]) @ z0
+            res, Jq = model.nl_funcs[k](np, q)
+            J = Jq @ np.asarray(model.fqs[k])
+            Jp = Jq @ np.asarray(model.pexps[k])
+            try:
+                dzdp = -np.linalg.solve(J, Jp)
+            except np.linalg.LinAlgError:
+                dzdp = np.zeros_like(Jp)
+            self._init_warm.append(WarmStart(p=D(p0), z=D(z0), dzdp=D(dzdp)))
+
+        self._nl_funcs = model.nl_funcs
+        self._scan = jax.jit(self._make_scan(), donate_argnums=(0,))
+
+    # -- state ------------------------------------------------------------
+    def initial_state(self, lanes: int = 1, x=None):
+        """Scan carry for ``lanes`` independent circuit instances."""
+        def tile(v, extra=()):
+            return jnp.broadcast_to(v, (lanes,) + v.shape).reshape((lanes,) + v.shape)
+
+        if x is None:
+            x = jnp.zeros((lanes, self.nx), self.dtype)
+        else:
+            x = jnp.broadcast_to(jnp.asarray(x, self.dtype), (lanes, self.nx))
+        warms = tuple(
+            WarmStart(p=tile(w.p), z=tile(w.z), dzdp=tile(w.dzdp))
+            for w in self._init_warm)
+        return {"x": x, "warms": warms}
+
+    # -- scan body ----------------------------------------------------------
+    def _make_scan(self):
+        subs = self.subs
+        solvers = self._solvers
+        a, b, c, x0 = self.a, self.b, self.c, self.x0
+        dy, ey, fy, y0 = self.dy, self.ey, self.fy, self.y0
+        nn_total = self.nn_total
+
+        def step(carry, u_t):
+            # u_t: (L, nu)
+            x = carry["x"]
+            L = x.shape[0]
+            z_acc = jnp.zeros((L, nn_total), x.dtype)
+            warms_out = []
+            conv = jnp.ones((L,), bool)
+            iters = jnp.zeros((L,), jnp.int32)
+            for k, sub in enumerate(subs):
+                p = x @ sub["dq"].T + u_t @ sub["eq"].T + z_acc @ sub["fqprev"].T
+                result = solvers[k](p, carry["warms"][k])
+                z_acc = jax.lax.dynamic_update_slice(
+                    z_acc, result.z, (0, sub["off"]))
+                warms_out.append(result.warm)
+                conv = conv & result.converged
+                iters = iters + result.iters
+            y = x @ dy.T + u_t @ ey.T + z_acc @ fy.T + y0
+            x_new = x @ a.T + u_t @ b.T + z_acc @ c.T + x0
+            return {"x": x_new, "warms": tuple(warms_out)}, (y, conv, iters)
+
+        def scan_fn(carry, u_tm):
+            return jax.lax.scan(step, carry, u_tm)
+
+        return scan_fn
+
+    def step_fn(self):
+        """The single-step function (carry, u_t) -> (carry, (y, conv, iters));
+        exposed for jit-compile checks and custom drivers."""
+        subs_scan = self._make_scan()
+
+        def one(carry, u_t):
+            carry, outs = subs_scan(carry, u_t[None])
+            return carry, jax.tree_util.tree_map(lambda o: o[0], outs)
+        return one
+
+    # -- execution ----------------------------------------------------------
+    def run(self, u, state=None) -> Tuple[np.ndarray, dict, RunInfo]:
+        """Run the model.
+
+        ``u``: (nu, T) for a single lane or (L, nu, T) for a batch of lanes
+        (row order = circuit input order, as in the reference).  Returns
+        (y, new_state, info) with y shaped like u's output counterpart.
+        """
+        u = jnp.asarray(u, self.dtype)
+        single = u.ndim == 2
+        if single:
+            u = u[None]
+        L, nu, T = u.shape
+        if nu != self.nu:
+            raise ValueError(f"input has {nu} rows, but model has {self.nu} inputs")
+        if state is None:
+            state = self.initial_state(L)
+        elif state["x"].shape[0] != L:
+            raise ValueError(f"state has {state['x'].shape[0]} lanes, "
+                             f"but input has {L}")
+        u_tm = jnp.transpose(u, (2, 0, 1))  # (T, L, nu)
+        state, (y_tm, conv, iters) = self._scan(state, u_tm)
+        y = jnp.transpose(y_tm, (1, 2, 0))  # (L, ny, T)
+        info = RunInfo(converged=conv, iters=iters)
+        if self.warn:
+            y_host = np.asarray(y)
+            if not np.all(np.isfinite(y_host)):
+                raise RuntimeError("Failed to converge while solving non-linear "
+                                   "equation, got non-finite result.")
+            if not bool(jnp.all(conv)):
+                warnings.warn("Failed to converge while solving non-linear equation.")
+        if single:
+            y = y[0]
+        return y, state, info
+
+
+def compile_model(model: DiscreteModel, **kw) -> CompiledModel:
+    """Freeze a DiscreteModel into the TPU runtime."""
+    return CompiledModel(model, **kw)
