@@ -109,7 +109,11 @@ class CompiledModel:
             self._init_warm.append(WarmStart(p=D(p0), z=D(z0), dzdp=D(dzdp)))
 
         self._nl_funcs = model.nl_funcs
-        self._scan = jax.jit(self._make_scan(), donate_argnums=(0,))
+        scan_fn, step = self._make_scan()
+        self._step = step
+        self._scan = jax.jit(scan_fn, donate_argnums=(0,))
+        self._scan_sweep = jax.jit(self._make_sweep_scan(step), donate_argnums=(0,),
+                                   static_argnums=(3,))
 
     # -- state ------------------------------------------------------------
     def initial_state(self, lanes: int = 1, x=None):
@@ -157,17 +161,56 @@ class CompiledModel:
         def scan_fn(carry, u_tm):
             return jax.lax.scan(step, carry, u_tm)
 
-        return scan_fn
+        return scan_fn, step
 
     def step_fn(self):
-        """The single-step function (carry, u_t) -> (carry, (y, conv, iters));
-        exposed for jit-compile checks and custom drivers."""
-        subs_scan = self._make_scan()
+        """The single-step function (carry, u_t) -> (carry, (y, conv, iters))
+        with u_t of shape (L, nu); exposed for jit-compile checks and custom
+        drivers."""
+        return self._step
 
-        def one(carry, u_t):
-            carry, outs = subs_scan(carry, u_t[None])
-            return carry, jax.tree_util.tree_map(lambda o: o[0], outs)
-        return one
+    def _make_sweep_scan(self, step):
+        nu = self.nu
+
+        def sweep_scan(carry, u_time_tm, lane_values, lane_idx):
+            """Scan where some circuit inputs are shared time series and the
+            rest are per-lane constants (parameter sweeps: pots as inputs,
+            ref elements.jl:20-31 -- the lane axis never materializes a full
+            (L, nu, T) input).  ``lane_idx`` is a static tuple."""
+            L = carry["x"].shape[0]
+            time_idx = tuple(i for i in range(nu) if i not in lane_idx)
+
+            def step_sweep(c, u_t):
+                u_full = jnp.zeros((L, nu), self.dtype)
+                if time_idx:
+                    u_full = u_full.at[:, jnp.asarray(time_idx)].set(
+                        jnp.broadcast_to(u_t, (L, len(time_idx))))
+                if lane_idx:
+                    u_full = u_full.at[:, jnp.asarray(lane_idx)].set(lane_values)
+                return step(c, u_full)
+
+            return jax.lax.scan(step_sweep, carry, u_time_tm)
+        return sweep_scan
+
+    def run_sweep(self, u_time, lane_values, lane_input_idx, state=None):
+        """Parameter-sweep run: ``u_time`` (nu_time, T) is shared across all
+        lanes; ``lane_values`` (L, k) are per-lane constants fed into the
+        circuit inputs listed in ``lane_input_idx`` (e.g. pot positions).
+        This is the 4096-lane drive x tone grid path: inputs stay O(T + L)
+        instead of O(L*nu*T)."""
+        u_time = jnp.asarray(u_time, self.dtype)
+        lane_values = jnp.asarray(lane_values, self.dtype)
+        L = lane_values.shape[0]
+        lane_idx = tuple(int(i) for i in lane_input_idx)
+        if u_time.shape[0] + len(lane_idx) != self.nu:
+            raise ValueError("u_time rows + lane inputs must equal model inputs")
+        if state is None:
+            state = self.initial_state(L)
+        u_tm = u_time.T  # (T, nu_time)
+        state, (y_tm, conv, iters) = self._scan_sweep(state, u_tm, lane_values,
+                                                      lane_idx)
+        y = jnp.transpose(y_tm, (1, 2, 0))
+        return y, state, RunInfo(converged=conv, iters=iters)
 
     # -- execution ----------------------------------------------------------
     def run(self, u, state=None) -> Tuple[np.ndarray, dict, RunInfo]:

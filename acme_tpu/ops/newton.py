@@ -110,10 +110,15 @@ def make_subsystem_solver(nl, fq, pexp, q0, *, tol=1e-10, maxiter=500,
 
     def dzdp_at(pfull, z):
         """-J^-1 Jp, the sensitivity used for extrapolation
-        (ref solvers.jl:200-201)."""
+        (ref solvers.jl:200-201).  Returns (dzdp, ok): with a singular or
+        non-finite Jacobian at the solution, the reference skips the origin
+        update entirely (solvers.jl:223-225 bails before the update at
+        :233); callers must do the same or the poisoned sensitivity destroys
+        every subsequent warm start."""
         _, J, Jq = eval_rj(pfull, z)
-        d, _ = solve_dense(J, Jq @ pexp)
-        return -d
+        d, ok = solve_dense(J, Jq @ pexp)
+        ok = ok & jnp.all(jnp.isfinite(d)) & jnp.all(jnp.isfinite(J))
+        return -d, ok
 
     def solve(p, warm: WarmStart) -> SolveResult:
         z0 = warm.z + warm.dzdp @ (p - warm.p)
@@ -135,8 +140,9 @@ def make_subsystem_solver(nl, fq, pexp, q0, *, tol=1e-10, maxiter=500,
                 z0a = s.warm.z + s.warm.dzdp @ (pa - s.warm.p)
                 pfa = q0 + pexp @ pa
                 zz, cc, its = newton(pfa, z0a)
-                new_warm = WarmStart(p=pa, z=zz, dzdp=dzdp_at(pfa, zz))
-                warm2 = guard(~cc, new_warm, s.warm)
+                dz_a, ok_a = dzdp_at(pfa, zz)
+                new_warm = WarmStart(p=pa, z=zz, dzdp=dz_a)
+                warm2 = guard(~(cc & ok_a), new_warm, s.warm)
                 best_a = jnp.where(cc, s.a, s.best_a)
                 new_a = jnp.where(cc, 1.0, (s.a + s.best_a) / 2.0)
                 stuck = (~cc) & ~((s.best_a < new_a) & (new_a < s.a))
@@ -162,9 +168,13 @@ def make_subsystem_solver(nl, fq, pexp, q0, *, tol=1e-10, maxiter=500,
             fallback_warm = warm
 
         # on convergence the origin moves to (p, z) (ref solvers.jl:231-234)
-        new_warm = WarmStart(p=p, z=z, dzdp=dzdp_at(pfull, z))
+        # -- unless the Jacobian there is singular/non-finite, in which case
+        # the old origin is kept (reference early-return semantics)
+        dz_f, ok_f = dzdp_at(pfull, z)
+        new_warm = WarmStart(p=p, z=z, dzdp=dz_f)
+        upd = conv & ok_f
         warm_out = jax.tree_util.tree_map(
-            lambda n, f: jnp.where(conv, n, f), new_warm, fallback_warm)
+            lambda n, f: jnp.where(upd, n, f), new_warm, fallback_warm)
         return SolveResult(z=z, converged=conv, warm=warm_out, iters=iters)
 
     return solve
