@@ -193,13 +193,24 @@ class Circuit:
             for off, enq, nl in parts:
                 r, J = nl(xp, q[off:off + enq])
                 ress.append(r)
-                # embed the element Jacobian block at its column offset
-                left = xp.zeros(J.shape[:1] + (off,), dtype=J.dtype)
-                right = xp.zeros(J.shape[:1] + (nq - off - enq,), dtype=J.dtype)
-                rows.append(xp.concatenate([left, J, right], axis=1))
+                # embed the element Jacobian block at its column offset;
+                # q may carry extra (lane) dimensions beyond (nn, nq), so
+                # keep trailing dims intact; zero-width pads are skipped
+                # (Mosaic rejects zero-sized vectors)
+                pieces = []
+                if off > 0:
+                    pieces.append(xp.zeros(J.shape[:1] + (off,) + J.shape[2:],
+                                           dtype=J.dtype))
+                pieces.append(J)
+                if nq - off - enq > 0:
+                    pieces.append(xp.zeros(
+                        J.shape[:1] + (nq - off - enq,) + J.shape[2:],
+                        dtype=J.dtype))
+                rows.append(xp.concatenate(pieces, axis=1)
+                            if len(pieces) > 1 else J)
             if not ress:
-                return (xp.zeros((0,), dtype=q.dtype),
-                        xp.zeros((0, nq), dtype=q.dtype))
+                return (xp.zeros((0,) + tuple(q.shape[1:]), dtype=q.dtype),
+                        xp.zeros((0, nq) + tuple(q.shape[1:]), dtype=q.dtype))
             return xp.concatenate(ress), xp.concatenate(rows, axis=0)
 
         return NLFunc(nn=nn_total, nq=nq_total, fn=fn)

@@ -26,6 +26,15 @@ __all__ = [
 _INF = float("inf")
 
 
+
+def _exp(xp, arg):
+    """exp with the argument clamped at 80: beyond any physical operating
+    point for junction equations (exp(80)=5.5e34), but keeps overshooting
+    Newton iterates finite in float32 (overflow at ~88.7) so the iteration
+    can recover by walking back instead of poisoning the lane.  The float64
+    host path is unaffected below the clamp."""
+    return xp.exp(xp.minimum(arg, 80.0))
+
 def _evalpoly(xp, x, coeffs):
     """Horner evaluation of sum(coeffs[k] * x**k)."""
     if len(coeffs) == 0:
@@ -238,7 +247,7 @@ def diode(*, is_=1e-12, eta=1.0, **aliases):
 
     def fn(xp, q):
         v, i = q[0], q[1]
-        ex = xp.exp(v * vt_inv)
+        ex = _exp(xp, v * vt_inv)
         res = xp.stack([is_ * (ex - 1.0) - i])
         J = xp.stack([xp.stack([is_ * vt_inv * ex, -xp.ones_like(v)])])
         return res, J
@@ -297,8 +306,8 @@ def bjt(typ, *, is_=1e-12, eta=1.0, isc=None, ise=None, etac=None, etae=None,
 
     def fn(xp, q):
         vE, vC, iE, iC = q[0], q[1], q[2], q[3]
-        expE = xp.exp(vE * cE)
-        expC = xp.exp(vC * cC)
+        expE = _exp(xp, vE * cE)
+        expC = _exp(xp, vC * cC)
         i_f = kf * (expE - 1.0)
         i_r = kr * (expC - 1.0)
         di_f1 = kf * cE * expE
@@ -342,13 +351,13 @@ def bjt(typ, *, is_=1e-12, eta=1.0, isc=None, ise=None, etac=None, etae=None,
         iBE = (1.0 / bf) * i_f
         diBE1 = (1.0 / bf) * di_f1
         if ile != 0.0:
-            expEl = xp.exp(vE * (1.0 / (25e-3 * etael))) if etael != etae else expE
+            expEl = _exp(xp, vE * (1.0 / (25e-3 * etael))) if etael != etae else expE
             iBE = iBE + ile * (expEl - 1.0)
             diBE1 = diBE1 + (ile / (25e-3 * etael)) * expEl
         iBC = (1.0 / br) * i_r
         diBC2 = (1.0 / br) * di_r2
         if ilc != 0.0:
-            expCl = xp.exp(vC * (1.0 / (25e-3 * etacl))) if etacl != etac else expC
+            expCl = _exp(xp, vC * (1.0 / (25e-3 * etacl))) if etacl != etac else expC
             iBC = iBC + ilc * (expCl - 1.0)
             diBC2 = diBC2 + (ilc / (25e-3 * etacl)) * expCl
         one = xp.ones_like(vE)

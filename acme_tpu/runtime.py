@@ -95,8 +95,11 @@ def run(model: DiscreteModel, u: np.ndarray, showprogress: bool = False) -> np.n
     return ModelRunner(model, showprogress).run(u)
 
 
-def steadystate(model: DiscreteModel, u=None) -> np.ndarray:
-    """Steady-state state vector for constant input u (ref ACME.jl:474-497)."""
+def steadystate(model: DiscreteModel, u=None, return_z: bool = False):
+    """Steady-state state vector for constant input u (ref ACME.jl:474-497).
+
+    With ``return_z`` also returns the steady nonlinear solution vector
+    (used by the float32 fused runtime for operating-point centering)."""
     if u is None:
         u = np.zeros(model.nu)
     u = np.asarray(u, float)
@@ -133,8 +136,11 @@ def steadystate(model: DiscreteModel, u=None) -> np.ndarray:
         if not solver.hasconverged():
             raise RuntimeError("Failed to find steady state solution")
         zoff += nn_i
-    return np.linalg.solve(IA, model.b @ u + model.c @ steady_z + model.x0) \
+    xs = np.linalg.solve(IA, model.b @ u + model.c @ steady_z + model.x0) \
         if model.nx > 0 else np.zeros(0)
+    if return_z:
+        return xs, steady_z
+    return xs
 
 
 def steadystate_(model: DiscreteModel, u=None) -> np.ndarray:
