@@ -16,6 +16,7 @@ import math
 import numpy as np
 
 from .element import Element, NLFunc
+from .utils.units import magnitude as _mag
 
 __all__ = [
     "resistor", "potentiometer", "capacitor", "inductor", "transformer",
@@ -50,8 +51,11 @@ def _evalpoly(xp, x, coeffs):
 
 
 def resistor(r):
-    """Ohm's-law resistor (ref elements.jl:16).  Pins: 1, 2."""
-    return Element(mv=-1, mi=r)
+    """Ohm's-law resistor (ref elements.jl:16).  Pins: 1, 2.
+
+    Accepts a plain number (Ohm) or a units Quantity (acme_tpu.utils.units),
+    mirroring the reference's Unitful extension (ext/UnitfulExt.jl)."""
+    return Element(mv=-1, mi=_mag(r, "resistance"))
 
 
 def potentiometer(r, pos=None):
@@ -62,6 +66,7 @@ def potentiometer(r, pos=None):
     nonlinear with q = (v1, v2, i1, i2, pos) (ref elements.jl:20-31).
     Pins: 1, 2 (wiper), 3.
     """
+    r = _mag(r, "resistance")
     if pos is not None:
         return Element(mv=[[-1, 0], [0, -1]],
                        mi=[[r * pos, 0], [0, r * (1 - pos)]],
@@ -89,6 +94,7 @@ def potentiometer(r, pos=None):
 
 def capacitor(c):
     """Capacitor with charge state (ref elements.jl:40).  Pins: 1, 2."""
+    c = _mag(c, "capacitance")
     return Element(mv=[[c], [0]], mi=[[0], [1]], mx=[[-1], [0]], mxd=[[0], [-1]])
 
 
@@ -106,6 +112,7 @@ def inductor(l=None, model=None, **kwargs):
         return transformer(model="JA", ns=[n], **kwargs)
     if l is None:
         raise TypeError("inductor(l) requires an inductance")
+    l = _mag(l, "inductance")
     return Element(mv=[[1], [0]], mi=[[0], [l]], mx=[[0], [-1]], mxd=[[-1], [0]])
 
 
@@ -122,8 +129,11 @@ def transformer(l1=None, l2=None, *, coupling_coefficient=1,
         if str(model).upper() != "JA":
             raise ValueError(f"unknown transformer model {model!r}")
         return _transformer_ja(**ja_kwargs)
+    l1 = _mag(l1, "inductance")
+    l2 = _mag(l2, "inductance")
     if mutual_coupling is None:
         mutual_coupling = coupling_coefficient * math.sqrt(l1 * l2)
+    mutual_coupling = _mag(mutual_coupling, "inductance")
     return Element(
         mv=[[1, 0], [0, 1], [0, 0], [0, 0]],
         mi=[[0, 0], [0, 0], [l1, mutual_coupling], [mutual_coupling, l2]],
@@ -134,6 +144,11 @@ def transformer(l1=None, l2=None, *, coupling_coefficient=1,
 
 def _transformer_ja(D=2.4e-2, A=4.54e-5, ns=(), a=14.1, alpha=5e-5, c=0.55,
                     k=17.8, Ms=2.75e5):
+    D = _mag(D, "length")
+    A = _mag(A, "area")
+    a = _mag(a, "field")
+    k = _mag(k, "field")
+    Ms = _mag(Ms, "field")
     """Jiles-Atherton magnetics; q = (H_eff_scaled, M_irr?, dH, dM)-like vector
     per the reference derivation (ref elements.jl:104-135).  The residual is
     scaled by 1e-4/Ms for error comparability across elements, exactly as the
@@ -207,26 +222,30 @@ def _transformer_ja(D=2.4e-2, A=4.54e-5, ns=(), a=14.1, alpha=5e-5, c=0.55,
 def voltagesource(v=None, *, rs=0):
     """Voltage source; without ``v`` the voltage is a circuit input
     (ref elements.jl:180-183).  Pins: +, -."""
+    rs = _mag(rs, "resistance")
     if v is None:
         return Element(mv=1, mi=-rs, mu=1, ports=[("+", "-")])
-    return Element(mv=1, mi=-rs, u0=v, ports=[("+", "-")])
+    return Element(mv=1, mi=-rs, u0=_mag(v, "voltage"), ports=[("+", "-")])
 
 
 def currentsource(i=None, *, gp=0):
     """Current source; without ``i`` the current is a circuit input
     (ref elements.jl:196-199).  Pins: +, -."""
+    gp = _mag(gp, "conductance")
     if i is None:
         return Element(mv=gp, mi=-1, mu=1, ports=[("+", "-")])
-    return Element(mv=gp, mi=-1, u0=i, ports=[("+", "-")])
+    return Element(mv=gp, mi=-1, u0=_mag(i, "current"), ports=[("+", "-")])
 
 
 def voltageprobe(*, gp=0):
     """Voltage probe output row (ref elements.jl:210-211).  Pins: +, -."""
+    gp = _mag(gp, "conductance")
     return Element(mv=-gp, mi=1, pv=1, ports=[("+", "-")])
 
 
 def currentprobe(*, rs=0):
     """Current probe output row (ref elements.jl:223-224).  Pins: +, -."""
+    rs = _mag(rs, "resistance")
     return Element(mv=1, mi=-rs, pi=1, ports=[("+", "-")])
 
 
@@ -239,7 +258,7 @@ def diode(*, is_=1e-12, eta=1.0, **aliases):
 
     Pins: + (anode), - (cathode).
     """
-    is_ = float(aliases.pop("is", is_))
+    is_ = _mag(aliases.pop("is", is_), "current")
     eta = float(aliases.pop("η", eta))
     if aliases:
         raise TypeError(f"unknown diode parameters {sorted(aliases)}")
@@ -273,7 +292,7 @@ def bjt(typ, *, is_=1e-12, eta=1.0, isc=None, ise=None, etac=None, etae=None,
 
     Pins: base, emitter, collector.
     """
-    is_ = float(aliases.pop("is", is_))
+    is_ = _mag(aliases.pop("is", is_), "current")
     eta = float(aliases.pop("η", eta))
     etac = aliases.pop("ηc", etac)
     etae = aliases.pop("ηe", etae)
@@ -283,8 +302,21 @@ def bjt(typ, *, is_=1e-12, eta=1.0, isc=None, ise=None, etac=None, etae=None,
     br = float(aliases.pop("βr", br))
     if aliases:
         raise TypeError(f"unknown bjt parameters {sorted(aliases)}")
-    isc = is_ if isc is None else float(isc)
-    ise = is_ if ise is None else float(ise)
+    isc = is_ if isc is None else _mag(isc, "current")
+    ise = is_ if ise is None else _mag(ise, "current")
+    ile = _mag(ile, "current")
+    ilc = _mag(ilc, "current")
+    if ikf != _INF:
+        ikf = _mag(ikf, "current")
+    if ikr != _INF:
+        ikr = _mag(ikr, "current")
+    if vaf != _INF:
+        vaf = _mag(vaf, "voltage")
+    if var != _INF:
+        var = _mag(var, "voltage")
+    re = _mag(re, "resistance")
+    rc = _mag(rc, "resistance")
+    rb = _mag(rb, "resistance")
     etac = eta if etac is None else float(etac)
     etae = eta if etae is None else float(etae)
     etacl = etac if etacl is None else float(etacl)
@@ -396,8 +428,10 @@ def mosfet(typ, *, vt=0.7, alpha=2e-5, lam=0.0, **aliases):
         polarity = -1.0
     else:
         raise ValueError(f"Unknown mosfet type {typ!r}, must be 'n' or 'p'")
-    vt = tuple(float(v) for v in np.atleast_1d(vt))
-    alpha = tuple(float(v) for v in np.atleast_1d(alpha))
+    vt = tuple(_mag(v, "voltage") if hasattr(v, "dims") else float(v)
+               for v in np.atleast_1d(vt))
+    alpha = tuple(_mag(v, "transconductance") if hasattr(v, "dims") else float(v)
+                  for v in np.atleast_1d(alpha))
     dvt = tuple(c * (i + 1) for i, c in enumerate(vt[1:]))
     dalpha = tuple(c * (i + 1) for i, c in enumerate(alpha[1:]))
 
@@ -459,8 +493,8 @@ def opamp(*, maxgain=_INF, gain_bw_prod=_INF, model=None, gain=None,
         if str(model).lower() != "macak":
             raise ValueError(f"unknown opamp model {model!r}")
         gain = float(gain)
-        vomin = float(vomin)
-        vomax = float(vomax)
+        vomin = _mag(vomin, "voltage")
+        vomax = _mag(vomax, "voltage")
         offset = 0.5 * (vomin + vomax)
         scale = 0.5 * (vomax - vomin)
 
