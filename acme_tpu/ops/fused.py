@@ -58,6 +58,55 @@ def _recip_safe(v):
     return jnp.where(v > 0, 1.0 / jnp.where(v > 0, v, 1.0), jnp.ones_like(v))
 
 
+
+# -- double-float (compensated) arithmetic helpers ---------------------------
+# The Newton residual of stiff subsystems cancels catastrophically in
+# float32: q components are O(1) absolute while the converged residual is
+# ~1e-10.  We therefore carry q as an unevaluated (hi, lo) float32 pair --
+# built with error-free transforms (TwoSum / Dekker TwoProd, no FMA
+# required) -- evaluate the element physics at q_hi, and add the
+# first-order correction res += Jq @ q_lo.  This drops the residual floor
+# by ~2 orders of magnitude at ~2x evaluation cost, without touching the
+# element functions (their Jacobians are already available).
+
+
+def _two_sum(a, b):
+    sm = a + b
+    bb = sm - a
+    err = (a - (sm - bb)) + (b - bb)
+    return sm, err
+
+
+def _split_rt(a):
+    """Dekker split of a runtime float32 vector (4 ops)."""
+    c = 4097.0 * a
+    hi = c - (c - a)
+    return hi, a - hi
+
+
+def _const_split(c):
+    """Compile-time split of a float64 coefficient: returns
+    (a, ah, al, rem) with a = float32(c), (ah, al) its Dekker split and
+    rem = float32(c - a) the truncation remainder."""
+    a = np.float32(c)
+    t = np.float32(np.float32(4097.0) * a)
+    ah = np.float32(t - np.float32(t - a))
+    al = np.float32(a - ah)
+    rem = np.float32(float(c) - float(a))
+    return float(a), float(ah), float(al), float(rem)
+
+
+def _prod_const(cs, v, vh, vl):
+    """Error-free product of a pre-split constant with a pre-split runtime
+    vector, plus the constant's f64 truncation remainder."""
+    a, ah, al, rem = cs
+    pr = a * v
+    err = ((ah * vh - pr) + ah * vl + al * vh) + al * vl
+    if rem != 0.0:
+        err = err + rem * v
+    return pr, err
+
+
 def _solve_rows(J, R, refine=1):
     """Solve the per-lane dense systems J X = R where J is a list of lists of
     (S,128) vectors and R is a list of right-hand sides (each a list of n
@@ -178,7 +227,8 @@ class FusedRunner:
                  newton_iters: int = 64, tol: float = 1e-9,
                  step_clip: float = 1.0, time_chunk: int = 512,
                  interpret: bool = False, center: bool = True,
-                 center_u=None, extrapolate: bool = True, refine: int = 1):
+                 center_u=None, extrapolate: bool = True, refine: int = 1,
+                 compensated: bool = True):
         self.model = model
         self.K = int(newton_iters)
         self.tol = float(tol)
@@ -187,6 +237,7 @@ class FusedRunner:
         self.interpret = interpret
         self.extrapolate = bool(extrapolate)
         self.refine = int(refine)
+        self.compensated = bool(compensated)
         self.lane_idx = tuple(int(i) for i in lane_input_idx)
         self.time_idx = tuple(i for i in range(model.nu)
                               if i not in self.lane_idx)
@@ -226,6 +277,25 @@ class FusedRunner:
                      + np.asarray(model.dy, float) @ self.x_ss
                      + np.asarray(model.ey, float) @ self.u_ss
                      + np.asarray(model.fy, float) @ self.z_ss)
+        # State balancing: DK states are energy-storage quantities (capacitor
+        # charge, inductor flux), numerically ~1e-9 of the voltage scale, so
+        # read-out rows like Dy carry coefficients up to ~1e6.  In float32
+        # that cancellation alone caps output accuracy near -60 dB.  Rescale
+        # x by per-state powers of two (lossless) so that each state's
+        # strongest writer and reader coefficients are comparable:
+        #   a -> T^-1 a T,  b,c,x0 -> T^-1 *,  dy,dq -> * T.
+        dy = np.asarray(model.dy, float)
+        dq_list = [np.asarray(model.dqs[k], float) for k in range(self.nsub)]
+        self.Tx = self._balance_states(a, b, c, dy, dq_list)
+        Tc_ = self.Tx[:, None] if model.nx else np.ones((0, 1))
+        Tr_ = self.Tx[None, :] if model.nx else np.ones((1, 0))
+        self.a_b = a * (Tr_ / Tc_) if model.nx else a
+        self.b_b = b / Tc_ if model.nx else b
+        self.c_b = c / Tc_ if model.nx else c
+        self.x0_b = self.x0_c / self.Tx if model.nx else self.x0_c
+        self.dy_b = dy * Tr_
+        self.dq_bs = [d * Tr_ for d in dq_list]
+
         self.q0_c = []
         self.tols = []
         self.gates = []
@@ -251,14 +321,11 @@ class FusedRunner:
             # tol = success; gate = "stagnated at the floor, accept"; above
             # the gate a lane is flagged non-converged (the reference's
             # warning path).
-            res, Jq = model.nl_funcs[kk](np, q0)
-            if res.size:
-                term_scale = float(np.max(np.abs(Jq) @ np.abs(q0) + np.abs(res)))
-            else:
-                term_scale = 0.0
-            floor = 1.2e-7 * term_scale  # f32 eps * term magnitude
+            floor = float(self._floor_measure(kk, q0[:, None]).max()) \
+                if nn_k else 0.0
             self.tols.append(max(self.tol, 8.0 * floor))
             self.gates.append(max(96.0 * floor, 32.0 * self.tol))
+            res, Jq = model.nl_funcs[kk](np, q0)
             # initial extrapolation sensitivity at the operating point
             # (solvers.jl:164-178)
             J = Jq @ np.asarray(model.fqs[kk], float)
@@ -269,6 +336,57 @@ class FusedRunner:
                 d0 = np.zeros((nn_k, np_k))
             self.dzdp0.append(d0)
 
+    def _floor_measure(self, kk, q64):
+        """Empirical float32 residual floor at the points ``q64`` (nq, L):
+        evaluate the element physics in simulated kernel arithmetic (float32,
+        optionally with the q_lo first-order compensation) and compare with
+        the float64 truth.  This captures exactly the rounding the kernel
+        will see, per lane."""
+        nl = self.model.nl_funcs[kk]
+        res64, _ = nl(np, q64)
+        qhi = q64.astype(np.float32)
+        res32, Jq32 = nl(np, qhi)
+        if self.compensated:
+            qlo = (q64 - qhi.astype(np.float64)).astype(np.float32)
+            corr = np.einsum("ac...,c...->a...", Jq32, qlo)
+            res32 = res32 + corr
+        err = np.abs(res32.astype(np.float64) - res64)
+        return err.max(axis=0) if err.size else np.zeros(q64.shape[1:])
+
+    @staticmethod
+    def _balance_states(a, b, c, dy, dq_list, sweeps: int = 25):
+        """Per-state power-of-two scales equalizing writer and reader
+        coefficient magnitudes (LAPACK gebal-style, extended with the b/c
+        writer columns and the dy/dq reader rows)."""
+        nx = a.shape[0]
+        T = np.ones(nx)
+        if nx == 0:
+            return T
+        readers = [dy] + list(dq_list)
+        for _ in range(sweeps):
+            changed = False
+            for j in range(nx):
+                outs = [np.abs(a[i, j]) * T[j] / T[i]
+                        for i in range(nx) if i != j and a[i, j] != 0]
+                outs += [np.abs(r[i, j]) * T[j]
+                         for r in readers for i in range(r.shape[0])
+                         if r[i, j] != 0]
+                ins = [np.abs(a[j, k]) * T[k] / T[j]
+                       for k in range(nx) if k != j and a[j, k] != 0]
+                ins += [np.abs(v) / T[j]
+                        for v in np.concatenate([b[j, :], c[j, :]])
+                        if v != 0]
+                if not outs or not ins:
+                    continue
+                f = np.sqrt(max(outs) / max(ins))
+                k = int(np.round(np.log2(f)))
+                if k != 0:
+                    T[j] /= 2.0 ** k
+                    changed = True
+            if not changed:
+                break
+        return T
+
     # -- kernel construction --------------------------------------------------
     def _build(self, S: int, Tc: int, T0: int):
         m = self.model
@@ -277,23 +395,29 @@ class FusedRunner:
         K, step_clip = self.K, self.step_clip
         extrap = self.extrapolate
         refine = self.refine
-        a = np.asarray(m.a, float)
-        b = np.asarray(m.b, float)
-        c = np.asarray(m.c, float)
-        x0 = self.x0_c
-        dy = np.asarray(m.dy, float)
+        comp = self.compensated
+        a = self.a_b
+        b = self.b_b
+        c = self.c_b
+        x0 = self.x0_b
+        dy = self.dy_b
         ey = np.asarray(m.ey, float)
         fy = np.asarray(m.fy, float)
         y0 = self.y0_c
         subs = []
         zoff = poff = doff = 0
         for kk in range(self.nsub):
+            fq_m = np.asarray(m.fqs[kk], float)
+            pexp_m = np.asarray(m.pexps[kk], float)
+            q0_m = self.q0_c[kk]
             subs.append(dict(
-                dq=np.asarray(m.dqs[kk], float), eq=np.asarray(m.eqs[kk], float),
+                dq=self.dq_bs[kk], eq=np.asarray(m.eqs[kk], float),
                 fqprev=np.asarray(m.fqprevs[kk], float),
-                fq=np.asarray(m.fqs[kk], float),
-                pexp=np.asarray(m.pexps[kk], float),
-                q0=self.q0_c[kk], nl=m.nl_funcs[kk],
+                fq=fq_m, pexp=pexp_m,
+                q0=q0_m, nl=m.nl_funcs[kk],
+                fq_sp=[[_const_split(v) for v in row] for row in fq_m],
+                pexp_sp=[[_const_split(v) for v in row] for row in pexp_m],
+                q0_sp=[_const_split(v) for v in q0_m],
                 tol=self.tols[kk], gate=self.gates[kk],
                 off=zoff, poff=poff, doff=doff,
                 nn=m.nn(kk), np=m.np(kk), nq=m.nq(kk)))
@@ -315,7 +439,8 @@ class FusedRunner:
                 acc = term if acc is None else acc + term
             return acc
 
-        def kernel(u_ref, lane_ref, x_in, z_in, zw_in, wp_in, dzdp_in,
+        def kernel(u_ref, lane_ref, tol_ref, gate_ref,
+                   x_in, z_in, zw_in, wp_in, dzdp_in,
                    y_ref, x_out, z_out, zw_out, wp_out, dzdp_out, fail_out,
                    x_s, z_s, zw_s, wp_s, dzdp_s, fail_s):
             step_i = pl.program_id(0)
@@ -350,9 +475,11 @@ class FusedRunner:
                 x_v = [x_s[j] for j in range(nx)]
                 z_all = [z_s[j] for j in range(nn_total)]
                 any_fail = None
-                for sub in subs:
+                for ksub, sub in enumerate(subs):
                     nn_k, np_k, nq_k = sub["nn"], sub["np"], sub["nq"]
                     o, po, do = sub["off"], sub["poff"], sub["doff"]
+                    tol_v = tol_ref[ksub]
+                    gate_v = gate_ref[ksub]
                     # p = Dq x + Eq u + Fqprev z  (ref ACME.jl:681-686)
                     p = []
                     for i in range(np_k):
@@ -361,11 +488,32 @@ class FusedRunner:
                         acc = dotv(sub["fqprev"][i], z_all, acc)
                         p.append(acc if acc is not None
                                  else jnp.zeros_like(z_all[o]))
-                    pfull = []
-                    for ci in range(nq_k):
-                        acc = dotv(sub["pexp"][ci], p)
-                        base = _f(sub["q0"][ci])
-                        pfull.append(base if acc is None else acc + base)
+                    if comp:
+                        # pfull carried as an unevaluated (hi, lo) pair
+                        p_sp = [_split_rt(jnp.asarray(pi, jnp.float32))
+                                for pi in p]
+                        pfull = []
+                        pfull_lo = []
+                        for ci in range(nq_k):
+                            cs0 = sub["q0_sp"][ci]
+                            hi = jnp.asarray(cs0[0], jnp.float32)
+                            lo = jnp.asarray(cs0[3], jnp.float32)
+                            for i in range(np_k):
+                                cs = sub["pexp_sp"][ci][i]
+                                if cs[0] == 0.0 and cs[3] == 0.0:
+                                    continue
+                                pr, err = _prod_const(cs, p[i], *p_sp[i])
+                                hi, e2 = _two_sum(hi, pr)
+                                lo = lo + (err + e2)
+                            pfull.append(hi)
+                            pfull_lo.append(lo)
+                    else:
+                        pfull = []
+                        pfull_lo = None
+                        for ci in range(nq_k):
+                            acc = dotv(sub["pexp"][ci], p)
+                            base = _f(sub["q0"][ci])
+                            pfull.append(base if acc is None else acc + base)
 
                     # extrapolated warm start (solvers.jl:209-215)
                     if extrap and np_k:
@@ -383,15 +531,45 @@ class FusedRunner:
                         for zz in z0])
 
                     def eval_at(z):
-                        q = []
-                        for ci in range(nq_k):
-                            acc = dotv(sub["fq"][ci], z)
-                            q.append(pfull[ci] if acc is None
-                                     else acc + pfull[ci])
+                        if comp:
+                            z_sp = [_split_rt(zz) for zz in z]
+                            q = []
+                            q_lo = []
+                            for ci in range(nq_k):
+                                hi = pfull[ci]
+                                lo = pfull_lo[ci]
+                                for mi in range(nn_k):
+                                    cs = sub["fq_sp"][ci][mi]
+                                    if cs[0] == 0.0 and cs[3] == 0.0:
+                                        continue
+                                    pr, err = _prod_const(cs, z[mi], *z_sp[mi])
+                                    hi, e2 = _two_sum(hi, pr)
+                                    lo = lo + (err + e2)
+                                q.append(hi)
+                                q_lo.append(lo)
+                        else:
+                            q = []
+                            q_lo = None
+                            for ci in range(nq_k):
+                                acc = dotv(sub["fq"][ci], z)
+                                q.append(pfull[ci] if acc is None
+                                         else acc + pfull[ci])
                         qv = jnp.stack([jnp.broadcast_to(
                             jnp.asarray(qq, jnp.float32), z[0].shape)
                             for qq in q])
                         res, Jq = sub["nl"](jnp, qv)
+                        if comp:
+                            # first-order correction: res(q_hi + q_lo)
+                            # ~= res(q_hi) + Jq q_lo
+                            corr = []
+                            for ai in range(nn_k):
+                                acc = res[ai]
+                                for ci in range(nq_k):
+                                    acc = acc + Jq[ai, ci] * jnp.broadcast_to(
+                                        jnp.asarray(q_lo[ci], jnp.float32),
+                                        z[0].shape)
+                                corr.append(acc)
+                            res = jnp.stack(corr)
                         J = [[None] * nn_k for _ in range(nn_k)]
                         for ai in range(nn_k):
                             for bi in range(nn_k):
@@ -407,15 +585,44 @@ class FusedRunner:
                         resmax = jnp.abs(res[0])
                         for ai in range(1, nn_k):
                             resmax = jnp.maximum(resmax, jnp.abs(res[ai]))
-                        return res, J, Jq, resmax
+                        # live residual term scale: the float32 floor follows
+                        # the magnitudes of the cancelling terms, which swing
+                        # with the signal (e.g. pot rows at volt scale).
+                        # scale = max_a sum_c |Jq[a,c]| |q_c| tracks it.
+                        scale = None
+                        for ai in range(nn_k):
+                            acc = None
+                            for ci in range(nq_k):
+                                t2 = jnp.abs(Jq[ai, ci]) * jnp.abs(qv[ci])
+                                acc = t2 if acc is None else acc + t2
+                            scale = acc if scale is None \
+                                else jnp.maximum(scale, acc)
+                        return res, J, Jq, resmax, scale
 
-                    def newton_iter(zs, prev_resmax):
+                    # Newton loop: iterate until the residual passes tol,
+                    # or stops improving for two consecutive iterations
+                    # (stagnated at the float32 floor -- 'strikes' allows one
+                    # non-monotone recovery step), or the cap K.  The final
+                    # answer is the best iterate seen; the converged flag is
+                    # a separate, tighter judgement (res_best < gate),
+                    # mirroring the reference's warn-but-continue semantics
+                    # (ACME.jl:688-694).
+                    rel_tol = 1.5e-7 if comp else 1.0e-6
+                    rel_gate = 2.0e-6 if comp else 1.0e-5
+
+                    def newton_iter(zs, prev_resmax, strikes):
                         z = [zs[i1] for i1 in range(nn_k)]
-                        res, J, _, resmax = eval_at(z)
-                        # success, or stagnation at the float32 floor
-                        done = (resmax < sub["tol"]) | (
-                            (resmax >= 0.99 * prev_resmax)
-                            & (resmax < sub["gate"]))
+                        res, J, _, resmax, scale = eval_at(z)
+                        tol_eff = jnp.maximum(tol_v, rel_tol * scale)
+                        gate_eff = jnp.maximum(gate_v, rel_gate * scale)
+                        # stagnation: no meaningful progress while already
+                        # below the acceptance gate (the float32 floor);
+                        # lanes grinding slowly above the gate keep going
+                        stalled = (resmax >= 0.995 * prev_resmax) \
+                            & (resmax < gate_eff)
+                        strikes = jnp.where(stalled, strikes + 1.0,
+                                            jnp.zeros_like(strikes))
+                        done = (resmax < tol_eff) | (strikes >= 2.0)
                         dz = _solve_rows(J, [[res[ai] for ai in range(nn_k)]],
                                          refine=refine)[0]
                         bad = jnp.logical_not(jnp.isfinite(resmax))
@@ -430,45 +637,58 @@ class FusedRunner:
                             jnp.where(move, z[ai] - dz[ai], z[ai])
                             for ai in range(nn_k)])
                         # Mosaic cannot carry i1 vectors through scf.while:
-                        # the mask travels as float32 0/1
-                        return z_new, done.astype(jnp.float32), resmax
+                        # masks travel as float32 0/1
+                        return z_new, done.astype(jnp.float32), resmax, strikes
 
                     def n_cond(st):
-                        _, it, done, _ = st
+                        _, it, done, _, _, _, _ = st
                         return jnp.logical_and(
                             it < K, jnp.logical_not(jnp.all(done > 0.5)))
 
                     def n_body(st):
-                        zs, it, _, prev = st
-                        z_new, done, resmax = newton_iter(zs, prev)
-                        return (z_new, it + 1, done, resmax)
+                        zs, it, _, prev, strikes, zbest, rbest = st
+                        z_new, done, resmax, strikes = newton_iter(
+                            zs, prev, strikes)
+                        better = resmax < rbest
+                        zbest = jnp.where(better[None], zs, zbest)
+                        rbest = jnp.minimum(rbest, resmax)
+                        return (z_new, it + 1, done, resmax, strikes,
+                                zbest, rbest)
 
-                    big = jnp.full(z0s.shape[1:], 3e38, jnp.float32)
-                    zs_fin, _, done_fin, _ = jax.lax.while_loop(
-                        n_cond, n_body,
-                        (z0s, jnp.int32(0),
-                         jnp.zeros(z0s.shape[1:], jnp.float32), big))
-
-                    # rescue: failed lanes restart from z~ = 0 (the centering
-                    # operating point) -- the in-kernel stand-in for the
-                    # reference's homotopy restart (solvers.jl:268-296)
-                    def rescue(args):
-                        zs0, done0 = args
-                        zs_r = jnp.where(done0[None] > 0.5, zs0,
-                                         jnp.zeros_like(zs0))
-                        zs1, _, done1, _ = jax.lax.while_loop(
+                    def run_newton(zs0):
+                        big = jnp.full(zs0.shape[1:], 3e38, jnp.float32)
+                        zero = jnp.zeros(zs0.shape[1:], jnp.float32)
+                        out = jax.lax.while_loop(
                             n_cond, n_body,
-                            (zs_r, jnp.int32(0),
-                             jnp.zeros(zs0.shape[1:], jnp.float32), big))
-                        keep = done0[None] > 0.5
-                        return (jnp.where(keep, zs0, zs1),
-                                jnp.maximum(done0, done1))
+                            (zs0, jnp.int32(0), zero, big, zero, zs0, big))
+                        zs_f, _, _, resmax_f, _, zbest, rbest = out
+                        # the final iterate may beat the recorded best (the
+                        # loop exits before evaluating it); prefer it if so
+                        better = resmax_f < rbest
+                        zbest = jnp.where(better[None], zs_f, zbest)
+                        rbest = jnp.minimum(rbest, resmax_f)
+                        return zbest, rbest
 
-                    zs_fin, done_fin = jax.lax.cond(
-                        jnp.all(done_fin > 0.5),
-                        lambda args: args, rescue, (zs_fin, done_fin))
+                    zs_fin, res_fin = run_newton(z0s)
+
+                    # rescue: lanes still above the gate restart from
+                    # z~ = 0 (the centering operating point) -- the
+                    # in-kernel stand-in for the reference's homotopy
+                    # restart (solvers.jl:268-296)
+                    def rescue(args):
+                        zs0, r0 = args
+                        okk = r0 < gate_v
+                        zs_r = jnp.where(okk[None], zs0, jnp.zeros_like(zs0))
+                        zs1, r1 = run_newton(zs_r)
+                        better = r1 < r0
+                        return (jnp.where(better[None], zs1, zs0),
+                                jnp.minimum(r0, r1))
+
+                    zs_fin, res_fin = jax.lax.cond(
+                        jnp.all(res_fin < gate_v),
+                        lambda args: args, rescue, (zs_fin, res_fin))
                     z = [zs_fin[i1] for i1 in range(nn_k)]
-                    conv = done_fin > 0.5
+                    conv = res_fin < gate_v
                     fail_k = jnp.logical_not(conv)
                     any_fail = fail_k if any_fail is None else (any_fail | fail_k)
                     for i1 in range(nn_k):
@@ -477,7 +697,7 @@ class FusedRunner:
                     # move the extrapolation origin on converged, finite,
                     # non-singular solves only (solvers.jl:220-234)
                     if extrap and np_k:
-                        _, J, Jq, _ = eval_at(z)
+                        _, J, Jq, _, _ = eval_at(z)
                         Jp = [[None] * np_k for _ in range(nn_k)]
                         for ai in range(nn_k):
                             for bi in range(np_k):
@@ -555,6 +775,17 @@ class FusedRunner:
         multiple of the (8-aligned, SMEM-tileable) chunk; padded samples are
         masked inside the kernel so they never advance the state."""
         Tc = min(self.Tc, -(-T0 // 8) * 8)
+        # VMEM budget (16 MB scoped): the state/warm-start buffers cost
+        # (in + out + scratch) each; the y output block is double-buffered.
+        # Size the time chunk so everything fits with margin.
+        vec = S * LANE * 4
+        nfixed = (max(self.nx, 1) + 3 * max(self.nn_total, 1)
+                  + max(self.np_total, 1) + max(self.dz_total, 1)
+                  + 3 + len(self.lane_idx))
+        fixed = 3 * nfixed * vec
+        budget = 16 * 2**20 - fixed - 4 * 2**20
+        y_row = max(self.ny, 1) * vec
+        Tc = min(Tc, max(8, budget // (2 * y_row)))
         Tc = max(8, (Tc // 8) * 8)
         T = -(-T0 // Tc) * Tc
         key = (S, T0)
@@ -573,10 +804,13 @@ class FusedRunner:
             return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
                                 memory_space=pltpu.VMEM)
 
+        nsub_m = max(self.nsub, 1)
         in_specs = [
             pl.BlockSpec((Tc, max(nu_t, 1)), lambda i: (i, 0),
                          memory_space=pltpu.SMEM),
             full((max(nu_l, 1), S, LANE)),
+            full((nsub_m, S, LANE)),
+            full((nsub_m, S, LANE)),
             full((nx, S, LANE)),
             full((nn_total, S, LANE)),
             full((nn_total, S, LANE)),
@@ -637,7 +871,7 @@ class FusedRunner:
                 v[:, None, None], (v.size, S, LANE)).copy())
 
         x0v = (np.zeros(max(self.nx, 1)) if at_steady or self.nx == 0
-               else -self.x_ss)
+               else -self.x_ss / self.Tx)
         if self.nn_total:
             z0 = (np.zeros(self.nn_total) if at_steady
                   else np.concatenate([np.asarray(z, float)
@@ -652,6 +886,33 @@ class FusedRunner:
                 "wp": tile(np.zeros(max(self.np_total, 1)),
                            max(self.np_total, 1)),
                 "dzdp": tile(dz0, max(self.dz_total, 1))}
+
+    def _lane_tolerances(self, lane_values_centered, S):
+        """Per-lane convergence tolerance and stagnation gate.
+
+        The float32 residual floor scales with the residual's term
+        magnitudes, which depend on the lane constants (e.g. a drive pot at
+        0.05 vs 0.95 changes the pot-row term scale by ~20x).  Estimating
+        the floor per lane at its own approximate operating q keeps corner
+        lanes from being flagged non-converged -- and, more importantly,
+        from spinning the shared Newton loop to its iteration cap on every
+        sample (the early exit waits for all lanes)."""
+        m = self.model
+        L = S * LANE
+        nsub = max(self.nsub, 1)
+        tol_l = np.full((nsub, L), max(self.tol, 1e-9), np.float32)
+        gate_l = np.full((nsub, L), 32.0 * self.tol, np.float32)
+        lv = np.asarray(lane_values_centered, float)
+        for kk in range(self.nsub):
+            q = np.broadcast_to(self.q0_c[kk][:, None],
+                                (len(self.q0_c[kk]), L)).copy()
+            if self.lane_idx and lv.size:
+                eq_lane = np.asarray(m.eqs[kk], float)[:, list(self.lane_idx)]
+                q += np.asarray(m.pexps[kk], float) @ (eq_lane @ lv.T)
+            floor = self._floor_measure(kk, q)
+            tol_l[kk] = np.maximum(self.tol, 8.0 * floor)
+            gate_l[kk] = np.maximum(96.0 * floor, 32.0 * self.tol)
+        return (tol_l.reshape(nsub, S, LANE), gate_l.reshape(nsub, S, LANE))
 
     def run(self, u_time, lane_values, state=None):
         """u_time: (nu_t, T); lane_values: (L, nu_l); returns
@@ -672,6 +933,7 @@ class FusedRunner:
         nu_t, nu_l = len(self.time_idx), len(self.lane_idx)
         lv = lane_values.T.reshape(nu_l, S, LANE) if nu_l \
             else np.zeros((1, S, LANE), np.float32)
+        tol_l, gate_l = self._lane_tolerances(lane_values, S)
         # trace and execute with x64 disabled: the kernel is float32
         # throughout and weak-typed python floats must not promote anything
         # to float64 (Mosaic rejects 64-bit scalars)
@@ -682,6 +944,7 @@ class FusedRunner:
                 u_pad[:T0, :] = u_time.T
             y, x_o, z_o, zw_o, wp_o, dz_o, fails = fn(
                 jnp.asarray(u_pad), jnp.asarray(lv),
+                jnp.asarray(tol_l), jnp.asarray(gate_l),
                 state["x"], state["z"], state["zw"], state["wp"],
                 state["dzdp"])
         y = jnp.transpose(y, (2, 3, 1, 0)).reshape(S * LANE,
