@@ -224,6 +224,7 @@ class FusedRunner:
     """
 
     def __init__(self, model, lane_input_idx: Sequence[int] = (), *,
+                 lane_scale_idx: Sequence[int] = (),
                  newton_iters: int = 64, tol: float = 1e-9,
                  step_clip: float = 1.0, time_chunk: int = 512,
                  interpret: bool = False, center: bool = True,
@@ -239,6 +240,9 @@ class FusedRunner:
         self.refine = int(refine)
         self.compensated = bool(compensated)
         self.lane_idx = tuple(int(i) for i in lane_input_idx)
+        # lane-scaled inputs: time-varying rows multiplied by a per-lane
+        # constant (e.g. one audio stream fanned out at 4096 input levels)
+        self.scale_idx = tuple(int(i) for i in lane_scale_idx)
         self.time_idx = tuple(i for i in range(model.nu)
                               if i not in self.lane_idx)
         self.nx = model.nx
@@ -425,7 +429,9 @@ class FusedRunner:
             poff += m.np(kk)
             doff += m.nn(kk) * m.np(kk)
         time_idx, lane_idx = self.time_idx, self.lane_idx
+        scale_idx = self.scale_idx
         nu_t, nu_l = len(time_idx), len(lane_idx)
+        nu_l_total = nu_l + len(scale_idx)
 
         def dotv(coeffs, vecs, init=None):
             """sum_j coeffs[j]*vecs[j] with compile-time scalar coefficients;
@@ -458,7 +464,7 @@ class FusedRunner:
                     dzdp_s[...] = dzdp_in[...]
                 fail_s[...] = jnp.zeros_like(fail_s)
 
-            lane_vals = [lane_ref[j] for j in range(nu_l)]
+            lane_vals = [lane_ref[j] for j in range(nu_l_total)]
 
             def sample(t, _):
                 @pl.when(step_i * Tc + t < T0)
@@ -472,6 +478,8 @@ class FusedRunner:
                     u_full[gidx] = u_ref[t, jj]
                 for jj, gidx in enumerate(lane_idx):
                     u_full[gidx] = lane_vals[jj]
+                for jj, gidx in enumerate(scale_idx):
+                    u_full[gidx] = u_full[gidx] * lane_vals[nu_l + jj]
                 x_v = [x_s[j] for j in range(nx)]
                 z_all = [z_s[j] for j in range(nn_total)]
                 any_fail = None
@@ -607,8 +615,8 @@ class FusedRunner:
                     # a separate, tighter judgement (res_best < gate),
                     # mirroring the reference's warn-but-continue semantics
                     # (ACME.jl:688-694).
-                    rel_tol = 1.5e-7 if comp else 1.0e-6
-                    rel_gate = 2.0e-6 if comp else 1.0e-5
+                    rel_tol = 1.5e-7 if comp else 3.0e-7
+                    rel_gate = 2.0e-6 if comp else 4.0e-6
 
                     def newton_iter(zs, prev_resmax, strikes):
                         z = [zs[i1] for i1 in range(nn_k)]
@@ -638,57 +646,67 @@ class FusedRunner:
                             for ai in range(nn_k)])
                         # Mosaic cannot carry i1 vectors through scf.while:
                         # masks travel as float32 0/1
-                        return z_new, done.astype(jnp.float32), resmax, strikes
+                        return (z_new, done.astype(jnp.float32), resmax,
+                                strikes, gate_eff)
 
                     def n_cond(st):
-                        _, it, done, _, _, _, _ = st
+                        _, it, done, _, _, _, _, _ = st
                         return jnp.logical_and(
                             it < K, jnp.logical_not(jnp.all(done > 0.5)))
 
                     def n_body(st):
-                        zs, it, _, prev, strikes, zbest, rbest = st
-                        z_new, done, resmax, strikes = newton_iter(
+                        zs, it, _, prev, strikes, zbest, rbest, gbest = st
+                        z_new, done, resmax, strikes, gate_eff = newton_iter(
                             zs, prev, strikes)
                         better = resmax < rbest
                         zbest = jnp.where(better[None], zs, zbest)
+                        gbest = jnp.where(better, gate_eff, gbest)
                         rbest = jnp.minimum(rbest, resmax)
                         return (z_new, it + 1, done, resmax, strikes,
-                                zbest, rbest)
+                                zbest, rbest, gbest)
 
                     def run_newton(zs0):
                         big = jnp.full(zs0.shape[1:], 3e38, jnp.float32)
                         zero = jnp.zeros(zs0.shape[1:], jnp.float32)
                         out = jax.lax.while_loop(
                             n_cond, n_body,
-                            (zs0, jnp.int32(0), zero, big, zero, zs0, big))
-                        zs_f, _, _, resmax_f, _, zbest, rbest = out
-                        # the final iterate may beat the recorded best (the
-                        # loop exits before evaluating it); prefer it if so
-                        better = resmax_f < rbest
-                        zbest = jnp.where(better[None], zs_f, zbest)
+                            (zs0, jnp.int32(0), zero, big, zero, zs0, big,
+                             jnp.broadcast_to(gate_v, zs0.shape[1:])))
+                        zs_f, _, _, resmax_f, _, zbest, rbest, gbest = out
+                        # the loop steps after evaluating, so the final
+                        # stepped iterate is never itself evaluated; if the
+                        # residual was still descending at exit, the stepped
+                        # point is almost surely better -- take it
+                        desc = resmax_f <= rbest
+                        zbest = jnp.where(desc[None], zs_f, zbest)
                         rbest = jnp.minimum(rbest, resmax_f)
-                        return zbest, rbest
+                        return zbest, rbest, gbest
 
-                    zs_fin, res_fin = run_newton(z0s)
+                    zs_fin, res_fin, gate_fin = run_newton(z0s)
 
-                    # rescue: lanes still above the gate restart from
+                    # rescue: lanes still above their gate restart from
                     # z~ = 0 (the centering operating point) -- the
                     # in-kernel stand-in for the reference's homotopy
                     # restart (solvers.jl:268-296)
                     def rescue(args):
-                        zs0, r0 = args
+                        # restart aggressively: any lane above the *static*
+                        # floor gate retries from the operating point; the
+                        # better of the two answers is kept
+                        zs0, r0, g0 = args
                         okk = r0 < gate_v
                         zs_r = jnp.where(okk[None], zs0, jnp.zeros_like(zs0))
-                        zs1, r1 = run_newton(zs_r)
+                        zs1, r1, g1 = run_newton(zs_r)
                         better = r1 < r0
                         return (jnp.where(better[None], zs1, zs0),
-                                jnp.minimum(r0, r1))
+                                jnp.minimum(r0, r1),
+                                jnp.where(better, g1, g0))
 
-                    zs_fin, res_fin = jax.lax.cond(
+                    zs_fin, res_fin, gate_fin = jax.lax.cond(
                         jnp.all(res_fin < gate_v),
-                        lambda args: args, rescue, (zs_fin, res_fin))
+                        lambda args: args, rescue,
+                        (zs_fin, res_fin, gate_fin))
                     z = [zs_fin[i1] for i1 in range(nn_k)]
-                    conv = res_fin < gate_v
+                    conv = res_fin < gate_fin
                     fail_k = jnp.logical_not(conv)
                     any_fail = fail_k if any_fail is None else (any_fail | fail_k)
                     for i1 in range(nn_k):
@@ -781,8 +799,9 @@ class FusedRunner:
         vec = S * LANE * 4
         nfixed = (max(self.nx, 1) + 3 * max(self.nn_total, 1)
                   + max(self.np_total, 1) + max(self.dz_total, 1)
-                  + 3 + len(self.lane_idx))
-        fixed = 3 * nfixed * vec
+                  + 4 + len(self.lane_idx) + len(self.scale_idx))
+        # in/out/scratch, each potentially double-buffered by Mosaic
+        fixed = 6 * nfixed * vec
         budget = 16 * 2**20 - fixed - 4 * 2**20
         y_row = max(self.ny, 1) * vec
         Tc = min(Tc, max(8, budget // (2 * y_row)))
@@ -793,6 +812,7 @@ class FusedRunner:
             return self._jit_cache[key], T
         nsteps = T // Tc
         kernel, (nu_t, nu_l) = self._build(S, Tc, T0)
+        nu_l += len(self.scale_idx)
         nx = max(self.nx, 1)
         ny = self.ny
         nn_total = max(self.nn_total, 1)
@@ -908,7 +928,8 @@ class FusedRunner:
                                 (len(self.q0_c[kk]), L)).copy()
             if self.lane_idx and lv.size:
                 eq_lane = np.asarray(m.eqs[kk], float)[:, list(self.lane_idx)]
-                q += np.asarray(m.pexps[kk], float) @ (eq_lane @ lv.T)
+                q += np.asarray(m.pexps[kk], float) \
+                    @ (eq_lane @ lv[:, :len(self.lane_idx)].T)
             floor = self._floor_measure(kk, q)
             tol_l[kk] = np.maximum(self.tol, 8.0 * floor)
             gate_l[kk] = np.maximum(96.0 * floor, 32.0 * self.tol)
@@ -920,8 +941,16 @@ class FusedRunner:
         u_time = np.asarray(u_time, float) \
             - self.u_ss[list(self.time_idx)][:, None]
         u_time = u_time.astype(np.float32)
-        lane_values = np.asarray(lane_values, float) \
-            - self.u_ss[list(self.lane_idx)]
+        lane_values = np.asarray(lane_values, float)
+        nu_l0 = len(self.lane_idx)
+        if lane_values.shape[1] if lane_values.ndim == 2 else 0:
+            if lane_values.shape[1] != nu_l0 + len(self.scale_idx):
+                raise ValueError(
+                    f"lane_values must have {nu_l0 + len(self.scale_idx)} "
+                    f"columns ({nu_l0} constants + "
+                    f"{len(self.scale_idx)} scales)")
+        if nu_l0:
+            lane_values[:, :nu_l0] -= self.u_ss[list(self.lane_idx)]
         lane_values = lane_values.astype(np.float32)
         L = lane_values.shape[0] if lane_values.size else LANE
         if L % LANE:
@@ -930,7 +959,8 @@ class FusedRunner:
         T0 = u_time.shape[1]
         if state is None:
             state = self.initial_state(L)
-        nu_t, nu_l = len(self.time_idx), len(self.lane_idx)
+        nu_t = len(self.time_idx)
+        nu_l = len(self.lane_idx) + len(self.scale_idx)
         lv = lane_values.T.reshape(nu_l, S, LANE) if nu_l \
             else np.zeros((1, S, LANE), np.float32)
         tol_l, gate_l = self._lane_tolerances(lane_values, S)
