@@ -229,7 +229,8 @@ class FusedRunner:
                  step_clip: float = 1.0, time_chunk: int = 512,
                  interpret: bool = False, center: bool = True,
                  center_u=None, extrapolate: bool = True, refine: int = 1,
-                 compensated: bool = True):
+                 compensated: bool = True, df_state: bool = True,
+                 rel_tol: float = None, rel_gate: float = None):
         self.model = model
         self.K = int(newton_iters)
         self.tol = float(tol)
@@ -239,6 +240,9 @@ class FusedRunner:
         self.extrapolate = bool(extrapolate)
         self.refine = int(refine)
         self.compensated = bool(compensated)
+        self.df_state = bool(df_state)
+        self.rel_tol = rel_tol
+        self.rel_gate = rel_gate
         self.lane_idx = tuple(int(i) for i in lane_input_idx)
         # lane-scaled inputs: time-varying rows multiplied by a per-lane
         # constant (e.g. one audio stream fanned out at 4096 input levels)
@@ -400,6 +404,7 @@ class FusedRunner:
         extrap = self.extrapolate
         refine = self.refine
         comp = self.compensated
+        dfs = self.df_state
         a = self.a_b
         b = self.b_b
         c = self.c_b
@@ -408,6 +413,14 @@ class FusedRunner:
         ey = np.asarray(m.ey, float)
         fy = np.asarray(m.fy, float)
         y0 = self.y0_c
+        a_sp = [[_const_split(v) for v in row] for row in a]
+        b_sp = [[_const_split(v) for v in row] for row in b]
+        c_sp = [[_const_split(v) for v in row] for row in c]
+        x0_sp = [_const_split(v) for v in x0]
+        dy_sp = [[_const_split(v) for v in row] for row in dy]
+        ey_sp = [[_const_split(v) for v in row] for row in ey]
+        fy_sp = [[_const_split(v) for v in row] for row in fy]
+        y0_sp = [_const_split(v) for v in y0]
         subs = []
         zoff = poff = doff = 0
         for kk in range(self.nsub):
@@ -419,6 +432,11 @@ class FusedRunner:
                 fqprev=np.asarray(m.fqprevs[kk], float),
                 fq=fq_m, pexp=pexp_m,
                 q0=q0_m, nl=m.nl_funcs[kk],
+                dq_sp=[[_const_split(v) for v in row] for row in self.dq_bs[kk]],
+                eq_sp=[[_const_split(v) for v in row]
+                       for row in np.asarray(m.eqs[kk], float)],
+                fqprev_sp=[[_const_split(v) for v in row]
+                           for row in np.asarray(m.fqprevs[kk], float)],
                 fq_sp=[[_const_split(v) for v in row] for row in fq_m],
                 pexp_sp=[[_const_split(v) for v in row] for row in pexp_m],
                 q0_sp=[_const_split(v) for v in q0_m],
@@ -433,6 +451,26 @@ class FusedRunner:
         nu_t, nu_l = len(time_idx), len(lane_idx)
         nu_l_total = nu_l + len(scale_idx)
 
+        def dot_df(coef_sp, vals, vlos=None, init=(0.0, 0.0)):
+            """Compensated dot product: float64 coefficients (pre-split)
+            times double-float values (hi in vals, optional lo in vlos),
+            accumulated with error-free transforms.  Returns (hi, lo)."""
+            hi, lo = init
+            for idx2, cs in enumerate(coef_sp):
+                if cs[0] == 0.0 and cs[3] == 0.0:
+                    continue
+                v = vals[idx2]
+                if v is None:
+                    continue
+                v = jnp.asarray(v, jnp.float32)
+                vh, vl2 = _split_rt(v)
+                pr, err = _prod_const(cs, v, vh, vl2)
+                if vlos is not None and vlos[idx2] is not None:
+                    err = err + cs[0] * vlos[idx2]
+                hi, e2 = _two_sum(hi, pr)
+                lo = lo + (err + e2)
+            return hi, lo
+
         def dotv(coeffs, vecs, init=None):
             """sum_j coeffs[j]*vecs[j] with compile-time scalar coefficients;
             structural zeros are skipped (the model's sparsity is baked into
@@ -446,15 +484,18 @@ class FusedRunner:
             return acc
 
         def kernel(u_ref, lane_ref, tol_ref, gate_ref,
-                   x_in, z_in, zw_in, wp_in, dzdp_in,
-                   y_ref, x_out, z_out, zw_out, wp_out, dzdp_out, fail_out,
-                   x_s, z_s, zw_s, wp_s, dzdp_s, fail_s):
+                   x_in, xlo_in, z_in, zw_in, wp_in, dzdp_in,
+                   y_ref, x_out, xlo_out, z_out, zw_out, wp_out, dzdp_out,
+                   fail_out,
+                   x_s, xlo_s, z_s, zw_s, wp_s, dzdp_s, fail_s):
             step_i = pl.program_id(0)
 
             @pl.when(step_i == 0)
             def _init():
                 if nx:
                     x_s[...] = x_in[...]
+                    if dfs:
+                        xlo_s[...] = xlo_in[...]
                 if nn_total:
                     z_s[...] = z_in[...]
                     zw_s[...] = zw_in[...]
@@ -481,6 +522,7 @@ class FusedRunner:
                 for jj, gidx in enumerate(scale_idx):
                     u_full[gidx] = u_full[gidx] * lane_vals[nu_l + jj]
                 x_v = [x_s[j] for j in range(nx)]
+                x_lo = [xlo_s[j] for j in range(nx)] if dfs else None
                 z_all = [z_s[j] for j in range(nn_total)]
                 any_fail = None
                 for ksub, sub in enumerate(subs):
@@ -491,9 +533,25 @@ class FusedRunner:
                     # p = Dq x + Eq u + Fqprev z  (ref ACME.jl:681-686)
                     p = []
                     for i in range(np_k):
-                        acc = dotv(sub["dq"][i], x_v)
-                        acc = dotv(sub["eq"][i], u_full, acc)
-                        acc = dotv(sub["fqprev"][i], z_all, acc)
+                        if dfs:
+                            nz_row = any(
+                                cs[0] != 0.0 or cs[3] != 0.0
+                                for row in (sub["dq_sp"][i], sub["eq_sp"][i],
+                                            sub["fqprev_sp"][i])
+                                for cs in row)
+                            if nz_row:
+                                hi, lo = dot_df(sub["dq_sp"][i], x_v, x_lo)
+                                hi, lo = dot_df(sub["eq_sp"][i], u_full,
+                                                init=(hi, lo))
+                                hi, lo = dot_df(sub["fqprev_sp"][i], z_all,
+                                                init=(hi, lo))
+                                acc = hi + lo
+                            else:
+                                acc = None
+                        else:
+                            acc = dotv(sub["dq"][i], x_v)
+                            acc = dotv(sub["eq"][i], u_full, acc)
+                            acc = dotv(sub["fqprev"][i], z_all, acc)
                         p.append(acc if acc is not None
                                  else jnp.zeros_like(z_all[o]))
                     if comp:
@@ -615,8 +673,10 @@ class FusedRunner:
                     # a separate, tighter judgement (res_best < gate),
                     # mirroring the reference's warn-but-continue semantics
                     # (ACME.jl:688-694).
-                    rel_tol = 1.5e-7 if comp else 3.0e-7
-                    rel_gate = 2.0e-6 if comp else 4.0e-6
+                    rel_tol = self.rel_tol if self.rel_tol is not None \
+                        else (1.5e-7 if comp else 3.0e-7)
+                    rel_gate = self.rel_gate if self.rel_gate is not None \
+                        else (2.0e-6 if comp else 4.0e-6)
 
                     def newton_iter(zs, prev_resmax, strikes):
                         z = [zs[i1] for i1 in range(nn_k)]
@@ -655,15 +715,22 @@ class FusedRunner:
                             it < K, jnp.logical_not(jnp.all(done > 0.5)))
 
                     def n_body(st):
-                        zs, it, _, prev, strikes, zbest, rbest, gbest = st
+                        zs, it, done_prev, prev, strikes, zlast, rlast, glast = st
                         z_new, done, resmax, strikes, gate_eff = newton_iter(
                             zs, prev, strikes)
-                        better = resmax < rbest
-                        zbest = jnp.where(better[None], zs, zbest)
-                        gbest = jnp.where(better, gate_eff, gbest)
-                        rbest = jnp.minimum(rbest, resmax)
+                        # remember the last *evaluated* iterate per lane
+                        # (the loop steps after evaluating; once a lane is
+                        # done its z stops moving, so this is its solution).
+                        # Do NOT select by minimum residual across iterates:
+                        # for multi-root subsystems a transient low-residual
+                        # point near a different root would hijack the
+                        # path-following branch.
+                        live = done_prev < 0.5
+                        zlast = jnp.where(live[None], zs, zlast)
+                        rlast = jnp.where(live, resmax, rlast)
+                        glast = jnp.where(live, gate_eff, glast)
                         return (z_new, it + 1, done, resmax, strikes,
-                                zbest, rbest, gbest)
+                                zlast, rlast, glast)
 
                     def run_newton(zs0):
                         big = jnp.full(zs0.shape[1:], 3e38, jnp.float32)
@@ -672,15 +739,8 @@ class FusedRunner:
                             n_cond, n_body,
                             (zs0, jnp.int32(0), zero, big, zero, zs0, big,
                              jnp.broadcast_to(gate_v, zs0.shape[1:])))
-                        zs_f, _, _, resmax_f, _, zbest, rbest, gbest = out
-                        # the loop steps after evaluating, so the final
-                        # stepped iterate is never itself evaluated; if the
-                        # residual was still descending at exit, the stepped
-                        # point is almost surely better -- take it
-                        desc = resmax_f <= rbest
-                        zbest = jnp.where(desc[None], zs_f, zbest)
-                        rbest = jnp.minimum(rbest, resmax_f)
-                        return zbest, rbest, gbest
+                        _, _, _, _, _, zlast, rlast, glast = out
+                        return zlast, rlast, glast
 
                     zs_fin, res_fin, gate_fin = run_newton(z0s)
 
@@ -689,20 +749,24 @@ class FusedRunner:
                     # in-kernel stand-in for the reference's homotopy
                     # restart (solvers.jl:268-296)
                     def rescue(args):
-                        # restart aggressively: any lane above the *static*
-                        # floor gate retries from the operating point; the
-                        # better of the two answers is kept
+                        # ONLY lanes that failed their acceptance gate may
+                        # retry from the operating point, and the retry is
+                        # taken only if it actually improves the residual.
+                        # Healthy lanes must keep their path-following
+                        # solution: replacing it with a marginally-better
+                        # restart solution hops between solution branches of
+                        # multi-root subsystems and corrupts the waveform.
                         zs0, r0, g0 = args
-                        okk = r0 < gate_v
+                        okk = r0 < g0
                         zs_r = jnp.where(okk[None], zs0, jnp.zeros_like(zs0))
                         zs1, r1, g1 = run_newton(zs_r)
-                        better = r1 < r0
-                        return (jnp.where(better[None], zs1, zs0),
-                                jnp.minimum(r0, r1),
-                                jnp.where(better, g1, g0))
+                        take = jnp.logical_not(okk) & (r1 < r0)
+                        return (jnp.where(take[None], zs1, zs0),
+                                jnp.where(take, r1, r0),
+                                jnp.where(take, g1, g0))
 
                     zs_fin, res_fin, gate_fin = jax.lax.cond(
-                        jnp.all(res_fin < gate_v),
+                        jnp.all(res_fin < gate_fin),
                         lambda args: args, rescue,
                         (zs_fin, res_fin, gate_fin))
                     z = [zs_fin[i1] for i1 in range(nn_k)]
@@ -748,24 +812,56 @@ class FusedRunner:
                         for i1 in range(nn_k):
                             zw_s[o + i1] = jnp.where(conv, z[i1], zw_s[o + i1])
 
-                # output row and state update (ref ACME.jl:699-714)
+                # output row and state update (ref ACME.jl:699-714).
+                # With df_state the state is an unevaluated (hi, lo) pair
+                # and the read-outs accumulate with error-free transforms:
+                # the near-unity poles of audio circuits otherwise integrate
+                # float32 term rounding into an audible error floor.
                 for oi in range(ny):
-                    acc = dotv(dy[oi], x_v)
-                    acc = dotv(ey[oi], u_full, acc)
-                    acc = dotv(fy[oi], z_all, acc)
-                    val = _f(y0[oi]) if acc is None else acc + _f(y0[oi])
+                    if dfs:
+                        hi, lo = dot_df(dy_sp[oi], x_v, x_lo,
+                                        init=(_f(y0_sp[oi][0]),
+                                              _f(y0_sp[oi][3])))
+                        hi, lo = dot_df(ey_sp[oi], u_full, init=(hi, lo))
+                        hi, lo = dot_df(fy_sp[oi], z_all, init=(hi, lo))
+                        val = hi + lo
+                    else:
+                        acc = dotv(dy[oi], x_v)
+                        acc = dotv(ey[oi], u_full, acc)
+                        acc = dotv(fy[oi], z_all, acc)
+                        val = _f(y0[oi]) if acc is None else acc + _f(y0[oi])
                     y_ref[t, oi] = jnp.broadcast_to(
                         jnp.asarray(val, jnp.float32), y_ref.shape[2:])
-                x_new = []
-                for xi in range(nx):
-                    acc = dotv(a[xi], x_v)
-                    acc = dotv(b[xi], u_full, acc)
-                    acc = dotv(c[xi], z_all, acc)
-                    x_new.append(_f(x0[xi]) if acc is None
-                                 else acc + _f(x0[xi]))
-                for xi in range(nx):
-                    x_s[xi] = jnp.broadcast_to(
-                        jnp.asarray(x_new[xi], jnp.float32), x_s.shape[1:])
+                if dfs:
+                    x_new = []
+                    for xi in range(nx):
+                        hi, lo = dot_df(a_sp[xi], x_v, x_lo,
+                                        init=(_f(x0_sp[xi][0]),
+                                              _f(x0_sp[xi][3])))
+                        hi, lo = dot_df(b_sp[xi], u_full, init=(hi, lo))
+                        hi, lo = dot_df(c_sp[xi], z_all, init=(hi, lo))
+                        hi2, lo2 = _two_sum(jnp.asarray(hi, jnp.float32),
+                                            jnp.asarray(lo, jnp.float32))
+                        x_new.append((hi2, lo2))
+                    for xi in range(nx):
+                        x_s[xi] = jnp.broadcast_to(
+                            jnp.asarray(x_new[xi][0], jnp.float32),
+                            x_s.shape[1:])
+                        xlo_s[xi] = jnp.broadcast_to(
+                            jnp.asarray(x_new[xi][1], jnp.float32),
+                            x_s.shape[1:])
+                else:
+                    x_new = []
+                    for xi in range(nx):
+                        acc = dotv(a[xi], x_v)
+                        acc = dotv(b[xi], u_full, acc)
+                        acc = dotv(c[xi], z_all, acc)
+                        x_new.append(_f(x0[xi]) if acc is None
+                                     else acc + _f(x0[xi]))
+                    for xi in range(nx):
+                        x_s[xi] = jnp.broadcast_to(
+                            jnp.asarray(x_new[xi], jnp.float32),
+                            x_s.shape[1:])
                 for zi in range(nn_total):
                     z_s[zi] = z_all[zi]
                 if any_fail is not None:
@@ -777,6 +873,8 @@ class FusedRunner:
             def _fin():
                 if nx:
                     x_out[...] = x_s[...]
+                    if dfs:
+                        xlo_out[...] = xlo_s[...]
                 if nn_total:
                     z_out[...] = z_s[...]
                     zw_out[...] = zw_s[...]
@@ -797,7 +895,7 @@ class FusedRunner:
         # (in + out + scratch) each; the y output block is double-buffered.
         # Size the time chunk so everything fits with margin.
         vec = S * LANE * 4
-        nfixed = (max(self.nx, 1) + 3 * max(self.nn_total, 1)
+        nfixed = (2 * max(self.nx, 1) + 3 * max(self.nn_total, 1)
                   + max(self.np_total, 1) + max(self.dz_total, 1)
                   + 4 + len(self.lane_idx) + len(self.scale_idx))
         # in/out/scratch, each potentially double-buffered by Mosaic
@@ -832,6 +930,7 @@ class FusedRunner:
             full((nsub_m, S, LANE)),
             full((nsub_m, S, LANE)),
             full((nx, S, LANE)),
+            full((nx, S, LANE)),
             full((nn_total, S, LANE)),
             full((nn_total, S, LANE)),
             full((np_total, S, LANE)),
@@ -840,6 +939,7 @@ class FusedRunner:
         out_specs = [
             pl.BlockSpec((Tc, max(ny, 1), S, LANE), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
+            full((nx, S, LANE)),
             full((nx, S, LANE)),
             full((nn_total, S, LANE)),
             full((nn_total, S, LANE)),
@@ -855,6 +955,7 @@ class FusedRunner:
             out_shape=[
                 jax.ShapeDtypeStruct((T, max(ny, 1), S, LANE), dt),
                 jax.ShapeDtypeStruct((nx, S, LANE), dt),
+                jax.ShapeDtypeStruct((nx, S, LANE), dt),
                 jax.ShapeDtypeStruct((nn_total, S, LANE), dt),
                 jax.ShapeDtypeStruct((nn_total, S, LANE), dt),
                 jax.ShapeDtypeStruct((np_total, S, LANE), dt),
@@ -862,6 +963,7 @@ class FusedRunner:
                 jax.ShapeDtypeStruct((S, LANE), jnp.int32),
             ],
             scratch_shapes=[
+                pltpu.VMEM((nx, S, LANE), dt),
                 pltpu.VMEM((nx, S, LANE), dt),
                 pltpu.VMEM((nn_total, S, LANE), dt),
                 pltpu.VMEM((nn_total, S, LANE), dt),
@@ -892,6 +994,7 @@ class FusedRunner:
 
         x0v = (np.zeros(max(self.nx, 1)) if at_steady or self.nx == 0
                else -self.x_ss / self.Tx)
+        xlo_v = (x0v - x0v.astype(np.float32).astype(np.float64))
         if self.nn_total:
             z0 = (np.zeros(self.nn_total) if at_steady
                   else np.concatenate([np.asarray(z, float)
@@ -901,6 +1004,7 @@ class FusedRunner:
         dz0 = (np.concatenate([d.reshape(-1) for d in self.dzdp0])
                if self.dz_total else np.zeros(1))
         return {"x": tile(x0v, max(self.nx, 1)),
+                "xlo": tile(xlo_v, max(self.nx, 1)),
                 "z": tile(z0, max(self.nn_total, 1)),
                 "zw": tile(z0, max(self.nn_total, 1)),
                 "wp": tile(np.zeros(max(self.np_total, 1)),
@@ -941,7 +1045,7 @@ class FusedRunner:
         u_time = np.asarray(u_time, float) \
             - self.u_ss[list(self.time_idx)][:, None]
         u_time = u_time.astype(np.float32)
-        lane_values = np.asarray(lane_values, float)
+        lane_values = np.array(lane_values, float, copy=True)
         nu_l0 = len(self.lane_idx)
         if lane_values.shape[1] if lane_values.ndim == 2 else 0:
             if lane_values.shape[1] != nu_l0 + len(self.scale_idx):
@@ -972,13 +1076,14 @@ class FusedRunner:
             u_pad = np.zeros((T, max(nu_t, 1)), np.float32)
             if nu_t:
                 u_pad[:T0, :] = u_time.T
-            y, x_o, z_o, zw_o, wp_o, dz_o, fails = fn(
+            y, x_o, xlo_o, z_o, zw_o, wp_o, dz_o, fails = fn(
                 jnp.asarray(u_pad), jnp.asarray(lv),
                 jnp.asarray(tol_l), jnp.asarray(gate_l),
-                state["x"], state["z"], state["zw"], state["wp"],
-                state["dzdp"])
+                state["x"], state["xlo"], state["z"], state["zw"],
+                state["wp"], state["dzdp"])
         y = jnp.transpose(y, (2, 3, 1, 0)).reshape(S * LANE,
                                                    max(self.ny, 1), T)
         y = y[:, :self.ny, :T0]
-        state = {"x": x_o, "z": z_o, "zw": zw_o, "wp": wp_o, "dzdp": dz_o}
+        state = {"x": x_o, "xlo": xlo_o, "z": z_o, "zw": zw_o,
+                 "wp": wp_o, "dzdp": dz_o}
         return y, state, fails.reshape(-1)

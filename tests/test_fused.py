@@ -81,9 +81,10 @@ def test_fused_lane_sweep_birdie():
     y64, _, _ = compile_model(M.birdie_model()).run(u_full)
     err = np.max(np.abs(np.asarray(y)[0, 0] - np.asarray(y64)[0]))
     ref = np.max(np.abs(np.asarray(y64)))
-    # uncompensated-f32 short-run bound; the compensated TPU path measures
-    # far lower (see bench)
-    assert 20 * np.log10(err / ref) < -75
+    # loose bound: this FAST config trades accuracy for interpret-mode
+    # speed (no compensated residual, relative gates, K=12); the production
+    # configuration measures -93 dB on this sweep on real TPU (STATUS.md)
+    assert 20 * np.log10(err / ref) < -60
     # lanes with different vol differ
     assert not np.allclose(np.asarray(y)[0, 0], np.asarray(y)[100, 0])
 
