@@ -31,7 +31,7 @@ def main():
     ap.add_argument("--seconds", type=float, default=1.0,
                     help="audio seconds per timed run")
     ap.add_argument("--fs", type=int, default=44100)
-    ap.add_argument("--newton-iters", type=int, default=24)
+    ap.add_argument("--newton-iters", type=int, default=48)
     ap.add_argument("--engine", choices=["fused", "scan"], default="fused")
     ap.add_argument("--sweep", choices=["level", "pots"], default="level",
                     help="lane axis: per-lane input level (4096 channels "
