@@ -44,10 +44,14 @@ def main():
     args = ap.parse_args()
 
     if args.smoke:
+        # CPU sanity path: the float64 scan engine compiles quickly on CPU;
+        # interpret-mode Pallas would take minutes for the nn=7 kernel
         os.environ.pop("PALLAS_AXON_POOL_IPS", None)
         os.environ["JAX_PLATFORMS"] = "cpu"
-        args.lanes = 128
-        args.seconds = min(args.seconds, 0.002)
+        args.lanes = 16
+        args.seconds = min(args.seconds, 0.005)
+        args.engine = "scan"
+        args.sweep = "pots"
 
     import numpy as np
     import jax
@@ -146,7 +150,7 @@ def main():
     print(json.dumps({
         "metric": "superover RT-factor per lane @44.1kHz, "
                   f"{L} lanes ({'drive x tone grid' if args.sweep == 'pots' else 'input-level sweep'}), "
-                  "fused float32 kernel",
+                  f"{'fused float32 kernel' if args.engine == 'fused' else 'float64 scan engine'}",
         "value": round(rt_per_lane, 3),
         "unit": "x realtime per lane",
         "vs_baseline": round(rt_per_lane / 100.0, 4),
