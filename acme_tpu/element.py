@@ -42,9 +42,22 @@ class NLFunc:
     nn: int
     nq: int
     fn: Callable
+    #: optional hashable signature of the parameters captured by ``fn``;
+    #: two NLFuncs with different closures but equal (nn, nq, sig) compare
+    #: equal for Element identity purposes (e.g. two diode(is_=1e-12))
+    sig: Optional[tuple] = None
 
     def __call__(self, xp, q):
         return self.fn(xp, q)
+
+    def same_behavior(self, other: "NLFunc") -> bool:
+        if (self.nn, self.nq) != (other.nn, other.nq):
+            return False
+        if self.fn is other.fn:
+            return True
+        if self.sig is not None and other.sig is not None:
+            return self.sig == other.sig
+        return False
 
 
 def _norm_pin(p) -> str:
@@ -143,7 +156,7 @@ class Element:
         if self.pins != other.pins:
             return False
         if self.nonlinear_eq is not other.nonlinear_eq and \
-                (self.nonlinear_eq.nn, self.nonlinear_eq.nq) != (other.nonlinear_eq.nn, other.nonlinear_eq.nq):
+                not self.nonlinear_eq.same_behavior(other.nonlinear_eq):
             return False
         for k in _MAT_DIMS:
             a, b = self.mats[k], other.mats[k]

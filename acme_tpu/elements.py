@@ -88,7 +88,7 @@ def potentiometer(r, pos=None):
                    mi=[[0, 0], [0, 0], [1, 0], [0, 1], [0, 0]],
                    mq=(-np.eye(5)).tolist(),
                    mu=[[0], [0], [0], [0], [-1]],
-                   nonlinear_eq=NLFunc(nn=2, nq=5, fn=fn),
+                   nonlinear_eq=NLFunc(nn=2, nq=5, fn=fn, sig=("pot", r)),
                    ports=[(1, 2), (2, 3)])
 
 
@@ -212,7 +212,9 @@ def _transformer_ja(D=2.4e-2, A=4.54e-5, ns=(), a=14.1, alpha=5e-5, c=0.55,
     mq[nw + 1:, :] = np.eye(4)
     return Element(mv=mv.tolist(), mi=mi.tolist(), mx=mx.tolist(),
                    mxd=mxd.tolist(), mq=mq.tolist(),
-                   nonlinear_eq=NLFunc(nn=1, nq=4, fn=fn))
+                   nonlinear_eq=NLFunc(nn=1, nq=4, fn=fn,
+                                       sig=("ja", D, A, tuple(ns), a,
+                                            alpha, c, k, Ms)))
 
 
 # ---------------------------------------------------------------------------
@@ -273,7 +275,8 @@ def diode(*, is_=1e-12, eta=1.0, **aliases):
 
     return Element(mv=[[1], [0]], mi=[[0], [1]], mq=[[-1, 0], [0, -1]],
                    ports=[("+", "-")],
-                   nonlinear_eq=NLFunc(nn=1, nq=2, fn=fn))
+                   nonlinear_eq=NLFunc(nn=1, nq=2, fn=fn,
+                                       sig=("diode", is_, eta)))
 
 
 def bjt(typ, *, is_=1e-12, eta=1.0, isc=None, ise=None, etac=None, etae=None,
@@ -406,7 +409,10 @@ def bjt(typ, *, is_=1e-12, eta=1.0, isc=None, ise=None, etac=None, etae=None,
                    mi=[[-(re + rb), -rb], [-rb, -(rc + rb)], [1, 0], [0, 1]],
                    mq=mq,
                    ports=[("base", "emitter"), ("base", "collector")],
-                   nonlinear_eq=NLFunc(nn=2, nq=4, fn=fn))
+                   nonlinear_eq=NLFunc(nn=2, nq=4, fn=fn,
+                                       sig=("bjt", polarity, ise, isc, etae,
+                                            etac, etael, etacl, bf, br, ile,
+                                            ilc, vaf, var, ikf, ikr)))
 
 
 def mosfet(typ, *, vt=0.7, alpha=2e-5, lam=0.0, **aliases):
@@ -474,7 +480,9 @@ def mosfet(typ, *, vt=0.7, alpha=2e-5, lam=0.0, **aliases):
                    mi=[[0, 0], [0, 0], [0, -1], [1, 0]],
                    mq=mq,
                    ports=[("gate", "source"), ("drain", "source")],
-                   nonlinear_eq=NLFunc(nn=1, nq=3, fn=fn))
+                   nonlinear_eq=NLFunc(nn=1, nq=3, fn=fn,
+                                       sig=("mosfet", polarity, vt, alpha,
+                                            lam)))
 
 
 def opamp(*, maxgain=_INF, gain_bw_prod=_INF, model=None, gain=None,
@@ -510,7 +518,8 @@ def opamp(*, maxgain=_INF, gain_bw_prod=_INF, model=None, gain=None,
         return Element(mv=[[0, 0], [1, 0], [0, 1]], mi=[[1, 0], [0, 0], [0, 0]],
                        mq=[[0, 0], [-1, 0], [0, -1]],
                        u0=[[0], [0], [offset]],
-                       nonlinear_eq=NLFunc(nn=1, nq=2, fn=fn),
+                       nonlinear_eq=NLFunc(nn=1, nq=2, fn=fn,
+                                           sig=("macak", gain, vomin, vomax)),
                        ports=ports)
     if gain_bw_prod == _INF:  # avoid an unnecessary state
         inv_gain = 0.0 if maxgain == _INF else 1.0 / maxgain

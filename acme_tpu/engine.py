@@ -111,8 +111,11 @@ class CompiledModel:
         self._nl_funcs = model.nl_funcs
         scan_fn, step = self._make_scan()
         self._step = step
-        self._scan = jax.jit(scan_fn, donate_argnums=(0,))
-        self._scan_sweep = jax.jit(self._make_sweep_scan(step), donate_argnums=(0,),
+        # no donate_argnums on the public paths: callers may legitimately
+        # re-run from a kept state object (e.g. restart from a checkpoint),
+        # which a donated carry would invalidate with an obscure error
+        self._scan = jax.jit(scan_fn)
+        self._scan_sweep = jax.jit(self._make_sweep_scan(step),
                                    static_argnums=(3,))
 
     # -- state ------------------------------------------------------------

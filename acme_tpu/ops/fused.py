@@ -1047,12 +1047,13 @@ class FusedRunner:
         u_time = u_time.astype(np.float32)
         lane_values = np.array(lane_values, float, copy=True)
         nu_l0 = len(self.lane_idx)
-        if lane_values.shape[1] if lane_values.ndim == 2 else 0:
-            if lane_values.shape[1] != nu_l0 + len(self.scale_idx):
-                raise ValueError(
-                    f"lane_values must have {nu_l0 + len(self.scale_idx)} "
-                    f"columns ({nu_l0} constants + "
-                    f"{len(self.scale_idx)} scales)")
+        nu_l_req = nu_l0 + len(self.scale_idx)
+        if nu_l_req and (lane_values.ndim != 2
+                         or lane_values.shape[1] != nu_l_req):
+            raise ValueError(
+                f"lane_values must be 2-D with {nu_l_req} columns "
+                f"({nu_l0} constants + {len(self.scale_idx)} scales), "
+                f"got shape {lane_values.shape}")
         if nu_l0:
             lane_values[:, :nu_l0] -= self.u_ss[list(self.lane_idx)]
         lane_values = lane_values.astype(np.float32)

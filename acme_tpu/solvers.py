@@ -327,7 +327,9 @@ class CachingSolver:
         if self.new_count > self.new_count_limit:
             self.tree = KDTree(self.ps[:, :self.num_ps])
             self.new_count = 0
-            self.new_count_limit = 2 * self.num_ps
+            # amortization uses the grown buffer width (~2x num_ps), matching
+            # the reference's alteration counter (src/solvers.jl:387-394)
+            self.new_count_limit = 2 * self.ps.shape[1]
         return z
 
 

@@ -21,12 +21,12 @@ def save_state(path: str, state: dict) -> None:
         if isinstance(obj, dict):
             for k, v in obj.items():
                 walk(f"{prefix}{k}/", v)
+        elif hasattr(obj, "_fields"):  # NamedTuple (WarmStart) before tuple
+            for k in obj._fields:
+                walk(f"{prefix}{k}/", getattr(obj, k))
         elif isinstance(obj, (tuple, list)):
             for i, v in enumerate(obj):
                 walk(f"{prefix}{i}/", v)
-        elif hasattr(obj, "_fields"):  # NamedTuple (WarmStart)
-            for k in obj._fields:
-                walk(f"{prefix}{k}/", getattr(obj, k))
         else:
             flat[prefix.rstrip("/")] = np.asarray(obj)
 

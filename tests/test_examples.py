@@ -163,7 +163,7 @@ def _run_composite_vs_ref(subcirc_extra, ref_extra, u=None):
     circ.add("J", A.voltageprobe(gp=2))
     circ.connect(("J", "+"), ("U", "1"))
     circ.connect(("J", "-"), ("U", "2"))
-    model = A.DiscreteModel(circ, A.DiscreteModel and 1 / 44100)
+    model = A.DiscreteModel(circ, 1 / 44100)
     y = A.run(model, u if u is not None else np.zeros((0, 100)))
 
     refcirc = _ref_divider(ref_extra)
@@ -216,3 +216,78 @@ def test_composite_element_input_driven():
     refmodel = A.DiscreteModel(refcirc, 1 / 44100)
     yref = A.run(refmodel, np.zeros((0, 100)))
     np.testing.assert_allclose(y, yref, atol=1e-12)
+
+
+def test_decomposition_shape_fixtures():
+    """Pin the solver-input dimensions np for every reference fixture
+    (ref test/runtests.jl:733,744,757-759,768-770,777,786-791): these shapes
+    encode the whole nldecompose/reduce_pdims pipeline and must not drift."""
+    from fractions import Fraction
+
+    def nps(model):
+        return tuple(model.np(k) for k in range(model.nsubsystems))
+
+    def simplified(**kw):
+        """Base superover + stiff external vb source: breaks the bias
+        feedback so nldecompose can split the nonlinearity into a chain
+        (ref runtests.jl:751-755)."""
+        circ = M.superover(**kw)
+        circ.add("vbsrc", A.voltagesource(4.5))
+        circ.connect(("vbsrc", "+"), "vb")
+        circ.connect(("vbsrc", "-"), "gnd")
+        return circ
+
+    assert nps(M.birdie_model(vol=None)) == (3,)          # runtests.jl:733
+    assert nps(M.superover_model(drive=1.0, tone=1.0, level=1.0)) == (5,)
+    fixed = dict(drive=1.0, tone=1.0, level=1.0)
+    assert nps(A.DiscreteModel(simplified(**fixed), Fraction(1, 44100))) \
+        == (2, 1, 2)                                      # runtests.jl:757-759
+    assert nps(A.DiscreteModel(simplified(**fixed), Fraction(1, 44100),
+                               decompose_nonlinearity=False)) == (5,)
+    assert nps(M.superover_model()) == (11,)              # runtests.jl:777
+    assert nps(A.DiscreteModel(simplified(), Fraction(1, 44100))) \
+        == (2, 2, 2, 4)                                   # runtests.jl:786-791
+
+
+@pytest.mark.xfail(strict=False, reason="chain-decomposed sym superover "
+                   "steady state is broken in the reference too "
+                   "(test/runtests.jl:763-764 @test_broken)")
+def test_superover_sym_steady_broken():
+    from fractions import Fraction
+    circ = M.superover(drive=1.0, tone=1.0, level=1.0)
+    circ.add("vbsrc", A.voltagesource(4.5))
+    circ.connect(("vbsrc", "+"), "vb")
+    circ.connect(("vbsrc", "-"), "gnd")
+    model = A.DiscreteModel(circ, Fraction(1, 44100))
+    assert checksteady(model)
+
+
+def test_checkpoint_roundtrip_engine_state(tmp_path):
+    """save_state/load_state must round-trip the scan engine's carry,
+    which contains WarmStart NamedTuples (regression: NamedTuples were
+    saved under numeric keys but loaded by field name)."""
+    from acme_tpu.engine import compile_model
+    from acme_tpu.utils.checkpoint import load_state, save_state
+
+    model = M.diodeclipper_model()
+    cm = compile_model(model)
+    u = 0.5 * np.sin(2 * np.pi * 1000 / 44100 * np.arange(64))[None, :]
+    y1, state, _ = cm.run(u)
+    path = str(tmp_path / "carry.npz")
+    save_state(path, state)
+    restored = load_state(path, cm.initial_state(1))
+    y2a, _, _ = cm.run(u, state=restored)
+    y2b, _, _ = cm.run(u, state=state)
+    np.testing.assert_allclose(np.asarray(y2a), np.asarray(y2b), atol=0)
+
+
+def test_element_equality_distinguishes_parameters():
+    """diode(is_=1e-15) != diode(is_=1e-12); equal parameters compare
+    equal even across separately-constructed closures (ADVICE round 1)."""
+    assert A.diode(is_=1e-12) == A.diode(is_=1e-12)
+    assert A.diode(is_=1e-15) != A.diode(is_=1e-12)
+    assert A.diode(is_=1e-12, eta=2.0) != A.diode(is_=1e-12)
+    assert A.bjt("npn") == A.bjt("npn")
+    assert A.bjt("npn", bf=100.0) != A.bjt("npn")
+    assert A.resistor(1e3) == A.resistor(1e3)
+    assert A.resistor(1e3) != A.resistor(2e3)

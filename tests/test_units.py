@@ -34,7 +34,7 @@ def test_constructors_accept_units():
               re=10 * U.ohm),
         A.bjt("npn", is_=80 * 1e-15, vaf=10.0, ikf=50 * 1e-3, re=10.0))
     _eq(A.mosfet("n", vt=0.7 * U.V, alpha=20 * U.uA / U.V ** 2),
-        A.mosfet("n", vt=0.7, alpha=2e-5))
+        A.mosfet("n", vt=0.7, alpha=20 * 1e-6))
     _eq(A.opamp(model="macak", gain=100, vomin=-4 * U.V, vomax=4 * U.V),
         A.opamp(model="macak", gain=100, vomin=-4.0, vomax=4.0))
     _eq(A.inductor(model="JA", n=230, D=2.4e-2 * U.m, a=14.1 * U.A / U.m),
