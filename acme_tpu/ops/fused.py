@@ -37,7 +37,7 @@ samples masked so they cannot advance the state).
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import NamedTuple, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -45,9 +45,21 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["FusedRunner"]
+__all__ = ["FusedRunner", "FusedInfo"]
 
 LANE = 128
+
+
+class FusedInfo(NamedTuple):
+    """Per-lane run statistics from the fused kernel.
+
+    ``fails``: (L,) int32, samples on which any subsystem missed its
+    acceptance gate (the reference's warn path, ACME.jl:688-694).
+    ``iters``: (L, nsub) int32, total Newton iterations per subsystem over
+    the run (the reference's needediterations counters, solvers.jl:205).
+    """
+    fails: "jnp.ndarray"
+    iters: "jnp.ndarray"
 
 
 def _f(x):
@@ -107,7 +119,7 @@ def _prod_const(cs, v, vh, vl):
     return pr, err
 
 
-def _solve_rows(J, R, refine=1):
+def _solve_rows(J, R, refine=1, pivot=True):
     """Solve the per-lane dense systems J X = R where J is a list of lists of
     (S,128) vectors and R is a list of right-hand sides (each a list of n
     vectors); one tiny system per lane, vectorized over lanes.
@@ -115,13 +127,19 @@ def _solve_rows(J, R, refine=1):
     Raw Newton Jacobians here reach condition numbers ~1e8 purely from unit
     disparity (junction conductances 1e-10..1e2 against unit voltage rows),
     unsolvable in float32 (cond * eps > 1).  Row/column inf-norm
-    equilibration brings that to ~1e4-1e5; pivoted f32 elimination plus one
-    iterative-refinement step then gives directions good to ~1e-4 relative,
-    ample for Newton, with final accuracy set by the residual evaluation.
-    The reference gets this for free by solving in f64 (solvers.jl:46-132).
+    equilibration brings that to ~1e4-1e5; f32 elimination (optionally with
+    per-lane partial pivoting) plus ``refine`` iterative-refinement steps
+    then gives directions good to ~1e-4 relative, ample for Newton, with
+    final accuracy set by the residual evaluation.  The reference gets this
+    for free by solving in f64 (solvers.jl:46-132).
 
-    n==1,2: closed form.  n>=3: Gaussian elimination with per-lane partial
-    pivoting expressed as where-selects (branch-free)."""
+    ``pivot=False`` skips the where-select pivot cascade (a large fraction
+    of elimination cost on the VPU); equilibrated audio-circuit Jacobians
+    are diagonally usable in practice, and a bad direction only costs Newton
+    an extra iteration -- lanes where it ever fails are caught by the
+    residual gate and retried on the pivoted rescue path.
+
+    n==1,2: closed form.  n>=3: Gaussian elimination vectorized over lanes."""
     n = len(J)
     m = len(R)
     if n == 1:
@@ -149,21 +167,9 @@ def _solve_rows(J, R, refine=1):
         cs.append(_recip_safe(mx))
     Js = [[Jr[i][jj] * cs[jj] for jj in range(n)] for i in range(n)]
     Rs = [[R[j][i] * rs[i] for i in range(n)] for j in range(m)]
-    Y = _solve_raw(Js, Rs)
+    Y = _solve_raw(Js, Rs, pivot)
     X = [[Y[j][jj] * cs[jj] for jj in range(n)] for j in range(m)]
-    # one iterative-refinement step (n is tiny, re-elimination is cheap)
-    R2 = []
-    for j in range(m):
-        r2 = []
-        for i in range(n):
-            acc = R[j][i]
-            for jj in range(n):
-                acc = acc - J[i][jj] * X[j][jj]
-            r2.append(acc * rs[i])
-        R2.append(r2)
-    E = _solve_raw(Js, R2)
-    X = [[X[j][jj] + E[j][jj] * cs[jj] for jj in range(n)] for j in range(m)]
-    for _ in range(refine - 1):
+    for _ in range(refine):
         R2 = []
         for j in range(m):
             r2 = []
@@ -173,29 +179,33 @@ def _solve_rows(J, R, refine=1):
                     acc = acc - J[i][jj] * X[j][jj]
                 r2.append(acc * rs[i])
             R2.append(r2)
-        E = _solve_raw(Js, R2)
+        E = _solve_raw(Js, R2, pivot)
         X = [[X[j][jj] + E[j][jj] * cs[jj] for jj in range(n)]
              for j in range(m)]
     return X
 
 
-def _solve_raw(J, R):
-    """Pivoted elimination on vector rows; J (n x n), R list of m RHS."""
+def _solve_raw(J, R, pivot=True):
+    """Elimination on vector rows; J (n x n), R list of m RHS.  With
+    ``pivot`` each step swaps in the max-|column| row per lane via
+    where-selects (branch-free); without, plain diagonal elimination."""
     n = len(J)
     m = len(R)
     A = [J[i][:] + [R[j][i] for j in range(m)] for i in range(n)]
     w = n + m
     for k in range(n):
-        best = A[k]
-        best_abs = jnp.abs(A[k][k])
-        for i in range(k + 1, n):
-            cand_abs = jnp.abs(A[i][k])
-            take = cand_abs > best_abs
-            new_best = [jnp.where(take, A[i][c], best[c]) for c in range(w)]
-            A[i] = [jnp.where(take, best[c], A[i][c]) for c in range(w)]
-            best = new_best
-            best_abs = jnp.maximum(cand_abs, best_abs)
-        A[k] = best
+        if pivot:
+            best = A[k]
+            best_abs = jnp.abs(A[k][k])
+            for i in range(k + 1, n):
+                cand_abs = jnp.abs(A[i][k])
+                take = cand_abs > best_abs
+                new_best = [jnp.where(take, A[i][c], best[c])
+                            for c in range(w)]
+                A[i] = [jnp.where(take, best[c], A[i][c]) for c in range(w)]
+                best = new_best
+                best_abs = jnp.maximum(cand_abs, best_abs)
+            A[k] = best
         inv = 1.0 / A[k][k]
         for i in range(k + 1, n):
             fct = A[i][k] * inv
@@ -230,7 +240,8 @@ class FusedRunner:
                  interpret: bool = False, center: bool = True,
                  center_u=None, extrapolate: bool = True, refine: int = 1,
                  compensated: bool = True, df_state: bool = True,
-                 rel_tol: float = None, rel_gate: float = None):
+                 rel_tol: float = None, rel_gate: float = None,
+                 pivot: bool = True, group_lanes: int = 1024):
         self.model = model
         self.K = int(newton_iters)
         self.tol = float(tol)
@@ -241,6 +252,16 @@ class FusedRunner:
         self.refine = int(refine)
         self.compensated = bool(compensated)
         self.df_state = bool(df_state)
+        # main-path solves may skip per-lane pivoting (the where-select
+        # cascade is a large share of VPU elimination cost); the rescue
+        # path always pivots.  Lane groups of ``group_lanes`` (multiples of
+        # 128) are independently launched grid steps: each group's Newton
+        # early-exit and rescue trigger see only its own lanes, so one
+        # grinding lane stalls at most group_lanes-1 others.  Groups of
+        # <= 1024 lanes (8 sublanes x 128 lanes = one vector register per
+        # scalar) all cost the same per vector op on the VPU.
+        self.pivot = bool(pivot)
+        self.group_S = max(1, int(group_lanes) // LANE)
         self.rel_tol = rel_tol
         self.rel_gate = rel_gate
         self.lane_idx = tuple(int(i) for i in lane_input_idx)
@@ -483,12 +504,17 @@ class FusedRunner:
                 acc = term if acc is None else acc + term
             return acc
 
+        pivot = self.pivot
+
         def kernel(u_ref, lane_ref, tol_ref, gate_ref,
                    x_in, xlo_in, z_in, zw_in, wp_in, dzdp_in,
                    y_ref, x_out, xlo_out, z_out, zw_out, wp_out, dzdp_out,
-                   fail_out,
-                   x_s, xlo_s, z_s, zw_s, wp_s, dzdp_s, fail_s):
-            step_i = pl.program_id(0)
+                   fail_out, iters_out,
+                   x_s, xlo_s, z_s, zw_s, wp_s, dzdp_s, fail_s, iters_s):
+            # grid = (lane groups, time chunks), time fastest: each group
+            # runs its whole time axis with state resident in VMEM scratch,
+            # then the next group starts (re-initializing from its in-block)
+            step_i = pl.program_id(1)
 
             @pl.when(step_i == 0)
             def _init():
@@ -504,6 +530,7 @@ class FusedRunner:
                 if dz_total and extrap:
                     dzdp_s[...] = dzdp_in[...]
                 fail_s[...] = jnp.zeros_like(fail_s)
+                iters_s[...] = jnp.zeros_like(iters_s)
 
             lane_vals = [lane_ref[j] for j in range(nu_l_total)]
 
@@ -678,76 +705,100 @@ class FusedRunner:
                     rel_gate = self.rel_gate if self.rel_gate is not None \
                         else (2.0e-6 if comp else 4.0e-6)
 
-                    def newton_iter(zs, prev_resmax, strikes):
-                        z = [zs[i1] for i1 in range(nn_k)]
-                        res, J, _, resmax, scale = eval_at(z)
-                        tol_eff = jnp.maximum(tol_v, rel_tol * scale)
-                        gate_eff = jnp.maximum(gate_v, rel_gate * scale)
-                        # stagnation: no meaningful progress while already
-                        # below the acceptance gate (the float32 floor);
-                        # lanes grinding slowly above the gate keep going
-                        stalled = (resmax >= 0.995 * prev_resmax) \
-                            & (resmax < gate_eff)
-                        strikes = jnp.where(stalled, strikes + 1.0,
-                                            jnp.zeros_like(strikes))
-                        done = (resmax < tol_eff) | (strikes >= 2.0)
-                        dz = _solve_rows(J, [[res[ai] for ai in range(nn_k)]],
-                                         refine=refine)[0]
-                        bad = jnp.logical_not(jnp.isfinite(resmax))
-                        for ai in range(nn_k):
-                            bad = bad | jnp.logical_not(jnp.isfinite(dz[ai]))
-                        move = jnp.logical_not(done | bad)
-                        # bounded steps: an overshoot on the junction
-                        # exponentials walks back in a few iterations instead
-                        # of crawling from multi-volt excursions
-                        dz = [jnp.clip(d, -step_clip, step_clip) for d in dz]
-                        z_new = jnp.stack([
-                            jnp.where(move, z[ai] - dz[ai], z[ai])
-                            for ai in range(nn_k)])
-                        # Mosaic cannot carry i1 vectors through scf.while:
-                        # masks travel as float32 0/1
-                        return (z_new, done.astype(jnp.float32), resmax,
-                                strikes, gate_eff)
+                    def make_newton(piv):
+                        def newton_iter(zs, prev_resmax, strikes):
+                            z = [zs[i1] for i1 in range(nn_k)]
+                            res, J, _, resmax, scale = eval_at(z)
+                            tol_eff = jnp.maximum(tol_v, rel_tol * scale)
+                            gate_eff = jnp.maximum(gate_v, rel_gate * scale)
+                            # stagnation: no meaningful progress while
+                            # already below the acceptance gate (the float32
+                            # floor); lanes grinding slowly above the gate
+                            # keep going
+                            stalled = (resmax >= 0.995 * prev_resmax) \
+                                & (resmax < gate_eff)
+                            strikes = jnp.where(stalled, strikes + 1.0,
+                                                jnp.zeros_like(strikes))
+                            done = (resmax < tol_eff) | (strikes >= 2.0)
+                            dz = _solve_rows(
+                                J, [[res[ai] for ai in range(nn_k)]],
+                                refine=refine, pivot=piv)[0]
+                            bad = jnp.logical_not(jnp.isfinite(resmax))
+                            for ai in range(nn_k):
+                                bad = bad | jnp.logical_not(
+                                    jnp.isfinite(dz[ai]))
+                            move = jnp.logical_not(done | bad)
+                            # bounded steps: an overshoot on the junction
+                            # exponentials walks back in a few iterations
+                            # instead of crawling from multi-volt excursions
+                            dz = [jnp.clip(d, -step_clip, step_clip)
+                                  for d in dz]
+                            z_new = jnp.stack([
+                                jnp.where(move, z[ai] - dz[ai], z[ai])
+                                for ai in range(nn_k)])
+                            # Mosaic cannot carry i1 vectors through
+                            # scf.while: masks travel as float32 0/1
+                            return (z_new, done.astype(jnp.float32), resmax,
+                                    strikes, gate_eff)
 
-                    def n_cond(st):
-                        _, it, done, _, _, _, _, _ = st
-                        return jnp.logical_and(
-                            it < K, jnp.logical_not(jnp.all(done > 0.5)))
+                        def n_cond(st):
+                            _, it, done, _, _, _, _, _, _ = st
+                            return jnp.logical_and(
+                                it < K, jnp.logical_not(jnp.all(done > 0.5)))
 
-                    def n_body(st):
-                        zs, it, done_prev, prev, strikes, zlast, rlast, glast = st
-                        z_new, done, resmax, strikes, gate_eff = newton_iter(
-                            zs, prev, strikes)
-                        # remember the last *evaluated* iterate per lane
-                        # (the loop steps after evaluating; once a lane is
-                        # done its z stops moving, so this is its solution).
-                        # Do NOT select by minimum residual across iterates:
-                        # for multi-root subsystems a transient low-residual
-                        # point near a different root would hijack the
-                        # path-following branch.
-                        live = done_prev < 0.5
-                        zlast = jnp.where(live[None], zs, zlast)
-                        rlast = jnp.where(live, resmax, rlast)
-                        glast = jnp.where(live, gate_eff, glast)
-                        return (z_new, it + 1, done, resmax, strikes,
-                                zlast, rlast, glast)
+                        def n_body(st):
+                            (zs, it, done_prev, prev, strikes,
+                             zlast, rlast, glast, itv) = st
+                            z_new, done, resmax, strikes, gate_eff = \
+                                newton_iter(zs, prev, strikes)
+                            # remember the last *evaluated* iterate per lane
+                            # (the loop steps after evaluating; once a lane
+                            # is done its z stops moving, so this is its
+                            # solution).  Do NOT select by minimum residual
+                            # across iterates: for multi-root subsystems a
+                            # transient low-residual point near a different
+                            # root would hijack the path-following branch.
+                            live = done_prev < 0.5
+                            zlast = jnp.where(live[None], zs, zlast)
+                            rlast = jnp.where(live, resmax, rlast)
+                            glast = jnp.where(live, gate_eff, glast)
+                            # per-lane iteration count at which the lane
+                            # finished (reference needediterations,
+                            # solvers.jl:205); stuck lanes keep K
+                            itv = jnp.where(live & (done > 0.5),
+                                            (it + 1).astype(jnp.float32),
+                                            itv)
+                            return (z_new, it + 1, done, resmax, strikes,
+                                    zlast, rlast, glast, itv)
 
-                    def run_newton(zs0):
-                        big = jnp.full(zs0.shape[1:], 3e38, jnp.float32)
-                        zero = jnp.zeros(zs0.shape[1:], jnp.float32)
-                        out = jax.lax.while_loop(
-                            n_cond, n_body,
-                            (zs0, jnp.int32(0), zero, big, zero, zs0, big,
-                             jnp.broadcast_to(gate_v, zs0.shape[1:])))
-                        _, _, _, _, _, zlast, rlast, glast = out
-                        return zlast, rlast, glast
+                        def run(zs0):
+                            big = jnp.full(zs0.shape[1:], 3e38, jnp.float32)
+                            zero = jnp.zeros(zs0.shape[1:], jnp.float32)
+                            out = jax.lax.while_loop(
+                                n_cond, n_body,
+                                (zs0, jnp.int32(0), zero, big, zero, zs0,
+                                 big,
+                                 jnp.broadcast_to(gate_v, zs0.shape[1:]),
+                                 jnp.full(zs0.shape[1:], float(K),
+                                          jnp.float32)))
+                            _, _, _, _, _, zlast, rlast, glast, itv = out
+                            return zlast, rlast, glast, itv
 
-                    zs_fin, res_fin, gate_fin = run_newton(z0s)
+                        return run
+
+                    run_newton = make_newton(pivot)
+
+                    zs_fin, res_fin, gate_fin, itv_fin = run_newton(z0s)
 
                     # rescue: lanes still above their gate restart from
                     # z~ = 0 (the centering operating point) -- the
                     # in-kernel stand-in for the reference's homotopy
-                    # restart (solvers.jl:268-296)
+                    # restart (solvers.jl:268-296).  Always pivoted: rescue
+                    # handles exactly the lanes where the cheap main-path
+                    # solve may have gone bad.
+                    run_newton_piv = make_newton(True) if not pivot \
+                        else run_newton
+
                     def rescue(args):
                         # ONLY lanes that failed their acceptance gate may
                         # retry from the operating point, and the retry is
@@ -756,23 +807,25 @@ class FusedRunner:
                         # solution: replacing it with a marginally-better
                         # restart solution hops between solution branches of
                         # multi-root subsystems and corrupts the waveform.
-                        zs0, r0, g0 = args
+                        zs0, r0, g0, it0 = args
                         okk = r0 < g0
                         zs_r = jnp.where(okk[None], zs0, jnp.zeros_like(zs0))
-                        zs1, r1, g1 = run_newton(zs_r)
+                        zs1, r1, g1, it1 = run_newton_piv(zs_r)
                         take = jnp.logical_not(okk) & (r1 < r0)
                         return (jnp.where(take[None], zs1, zs0),
                                 jnp.where(take, r1, r0),
-                                jnp.where(take, g1, g0))
+                                jnp.where(take, g1, g0),
+                                it0 + jnp.where(okk, 0.0, it1))
 
-                    zs_fin, res_fin, gate_fin = jax.lax.cond(
+                    zs_fin, res_fin, gate_fin, itv_fin = jax.lax.cond(
                         jnp.all(res_fin < gate_fin),
                         lambda args: args, rescue,
-                        (zs_fin, res_fin, gate_fin))
+                        (zs_fin, res_fin, gate_fin, itv_fin))
                     z = [zs_fin[i1] for i1 in range(nn_k)]
                     conv = res_fin < gate_fin
                     fail_k = jnp.logical_not(conv)
                     any_fail = fail_k if any_fail is None else (any_fail | fail_k)
+                    iters_s[ksub] = iters_s[ksub] + itv_fin.astype(jnp.int32)
                     for i1 in range(nn_k):
                         z_all[o + i1] = z[i1]
 
@@ -794,7 +847,8 @@ class FusedRunner:
                                     else jnp.zeros_like(z[0])
                         cols = _solve_rows(
                             J, [[Jp[ai][bi] for ai in range(nn_k)]
-                                for bi in range(np_k)], refine=refine)
+                                for bi in range(np_k)], refine=refine,
+                            pivot=pivot)
                         ok = conv
                         for bi in range(np_k):
                             for ai in range(nn_k):
@@ -869,7 +923,7 @@ class FusedRunner:
 
             jax.lax.fori_loop(0, Tc, sample, 0)
 
-            @pl.when(step_i == pl.num_programs(0) - 1)
+            @pl.when(step_i == pl.num_programs(1) - 1)
             def _fin():
                 if nx:
                     x_out[...] = x_s[...]
@@ -883,21 +937,36 @@ class FusedRunner:
                 if dz_total and extrap:
                     dzdp_out[...] = dzdp_s[...]
                 fail_out[...] = fail_s[...]
+                iters_out[...] = iters_s[...]
 
         return kernel, (nu_t, nu_l)
+
+    def _group_S(self, S: int) -> int:
+        """Largest divisor of S not exceeding the configured group size."""
+        Sg = min(self.group_S, S)
+        while S % Sg:
+            Sg -= 1
+        return Sg
 
     def _compiled(self, S: int, T0: int):
         """Kernel for ``T0`` true samples.  The time axis is padded to a
         multiple of the (8-aligned, SMEM-tileable) chunk; padded samples are
-        masked inside the kernel so they never advance the state."""
+        masked inside the kernel so they never advance the state.  Lanes are
+        partitioned into groups of ``Sg`` sublane-blocks; the grid is
+        (groups, time chunks) with time fastest, so each group runs its
+        whole time axis with VMEM-resident state, exiting Newton as soon as
+        *its own* lanes are done."""
+        Sg = self._group_S(S)
+        G = S // Sg
         Tc = min(self.Tc, -(-T0 // 8) * 8)
         # VMEM budget (16 MB scoped): the state/warm-start buffers cost
         # (in + out + scratch) each; the y output block is double-buffered.
         # Size the time chunk so everything fits with margin.
-        vec = S * LANE * 4
+        vec = Sg * LANE * 4
         nfixed = (2 * max(self.nx, 1) + 3 * max(self.nn_total, 1)
                   + max(self.np_total, 1) + max(self.dz_total, 1)
-                  + 4 + len(self.lane_idx) + len(self.scale_idx))
+                  + 4 + 2 * max(self.nsub, 1)
+                  + len(self.lane_idx) + len(self.scale_idx))
         # in/out/scratch, each potentially double-buffered by Mosaic
         fixed = 6 * nfixed * vec
         budget = 16 * 2**20 - fixed - 4 * 2**20
@@ -909,7 +978,7 @@ class FusedRunner:
         if key in self._jit_cache:
             return self._jit_cache[key], T
         nsteps = T // Tc
-        kernel, (nu_t, nu_l) = self._build(S, Tc, T0)
+        kernel, (nu_t, nu_l) = self._build(Sg, Tc, T0)
         nu_l += len(self.scale_idx)
         nx = max(self.nx, 1)
         ny = self.ny
@@ -918,38 +987,42 @@ class FusedRunner:
         dz_total = max(self.dz_total, 1)
         dt = jnp.float32
 
-        def full(shape):
-            return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
+        def grouped(shape):
+            # lane-grouped array: block (n, Sg, LANE) at group g
+            return pl.BlockSpec(shape, lambda g, i: (0, g, 0),
                                 memory_space=pltpu.VMEM)
 
         nsub_m = max(self.nsub, 1)
         in_specs = [
-            pl.BlockSpec((Tc, max(nu_t, 1)), lambda i: (i, 0),
+            pl.BlockSpec((Tc, max(nu_t, 1)), lambda g, i: (i, 0),
                          memory_space=pltpu.SMEM),
-            full((max(nu_l, 1), S, LANE)),
-            full((nsub_m, S, LANE)),
-            full((nsub_m, S, LANE)),
-            full((nx, S, LANE)),
-            full((nx, S, LANE)),
-            full((nn_total, S, LANE)),
-            full((nn_total, S, LANE)),
-            full((np_total, S, LANE)),
-            full((dz_total, S, LANE)),
+            grouped((max(nu_l, 1), Sg, LANE)),
+            grouped((nsub_m, Sg, LANE)),
+            grouped((nsub_m, Sg, LANE)),
+            grouped((nx, Sg, LANE)),
+            grouped((nx, Sg, LANE)),
+            grouped((nn_total, Sg, LANE)),
+            grouped((nn_total, Sg, LANE)),
+            grouped((np_total, Sg, LANE)),
+            grouped((dz_total, Sg, LANE)),
         ]
         out_specs = [
-            pl.BlockSpec((Tc, max(ny, 1), S, LANE), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((Tc, max(ny, 1), Sg, LANE),
+                         lambda g, i: (i, 0, g, 0),
                          memory_space=pltpu.VMEM),
-            full((nx, S, LANE)),
-            full((nx, S, LANE)),
-            full((nn_total, S, LANE)),
-            full((nn_total, S, LANE)),
-            full((np_total, S, LANE)),
-            full((dz_total, S, LANE)),
-            full((S, LANE)),
+            grouped((nx, Sg, LANE)),
+            grouped((nx, Sg, LANE)),
+            grouped((nn_total, Sg, LANE)),
+            grouped((nn_total, Sg, LANE)),
+            grouped((np_total, Sg, LANE)),
+            grouped((dz_total, Sg, LANE)),
+            pl.BlockSpec((Sg, LANE), lambda g, i: (g, 0),
+                         memory_space=pltpu.VMEM),
+            grouped((nsub_m, Sg, LANE)),
         ]
         fn = pl.pallas_call(
             kernel,
-            grid=(nsteps,),
+            grid=(G, nsteps),
             in_specs=in_specs,
             out_specs=out_specs,
             out_shape=[
@@ -961,15 +1034,17 @@ class FusedRunner:
                 jax.ShapeDtypeStruct((np_total, S, LANE), dt),
                 jax.ShapeDtypeStruct((dz_total, S, LANE), dt),
                 jax.ShapeDtypeStruct((S, LANE), jnp.int32),
+                jax.ShapeDtypeStruct((nsub_m, S, LANE), jnp.int32),
             ],
             scratch_shapes=[
-                pltpu.VMEM((nx, S, LANE), dt),
-                pltpu.VMEM((nx, S, LANE), dt),
-                pltpu.VMEM((nn_total, S, LANE), dt),
-                pltpu.VMEM((nn_total, S, LANE), dt),
-                pltpu.VMEM((np_total, S, LANE), dt),
-                pltpu.VMEM((dz_total, S, LANE), dt),
-                pltpu.VMEM((S, LANE), jnp.int32),
+                pltpu.VMEM((nx, Sg, LANE), dt),
+                pltpu.VMEM((nx, Sg, LANE), dt),
+                pltpu.VMEM((nn_total, Sg, LANE), dt),
+                pltpu.VMEM((nn_total, Sg, LANE), dt),
+                pltpu.VMEM((np_total, Sg, LANE), dt),
+                pltpu.VMEM((dz_total, Sg, LANE), dt),
+                pltpu.VMEM((Sg, LANE), jnp.int32),
+                pltpu.VMEM((nsub_m, Sg, LANE), jnp.int32),
             ],
             interpret=self.interpret,
         )
@@ -1077,7 +1152,7 @@ class FusedRunner:
             u_pad = np.zeros((T, max(nu_t, 1)), np.float32)
             if nu_t:
                 u_pad[:T0, :] = u_time.T
-            y, x_o, xlo_o, z_o, zw_o, wp_o, dz_o, fails = fn(
+            y, x_o, xlo_o, z_o, zw_o, wp_o, dz_o, fails, iters = fn(
                 jnp.asarray(u_pad), jnp.asarray(lv),
                 jnp.asarray(tol_l), jnp.asarray(gate_l),
                 state["x"], state["xlo"], state["z"], state["zw"],
@@ -1087,4 +1162,7 @@ class FusedRunner:
         y = y[:, :self.ny, :T0]
         state = {"x": x_o, "xlo": xlo_o, "z": z_o, "zw": zw_o,
                  "wp": wp_o, "dzdp": dz_o}
-        return y, state, fails.reshape(-1)
+        info = FusedInfo(
+            fails=fails.reshape(-1),
+            iters=jnp.transpose(iters, (1, 2, 0)).reshape(S * LANE, -1))
+        return y, state, info

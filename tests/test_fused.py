@@ -30,6 +30,7 @@ def test_fused_clipper_parity(clipper_ref):
     u, y64 = clipper_ref
     fr = FusedRunner(M.diodeclipper_model(), time_chunk=128, **FAST)
     y, st, fails = fr.run(u, np.zeros((128, 0)))
+    fails = fails.fails
     assert int(np.asarray(fails).max()) == 0
     err = np.max(np.abs(np.asarray(y)[0, 0] - y64[0]))
     ref = np.max(np.abs(y64))
@@ -43,6 +44,7 @@ def test_fused_clipper_compensated(clipper_ref):
     fr = FusedRunner(M.diodeclipper_model(), newton_iters=12, tol=1e-9,
                      time_chunk=128, interpret=True)
     y, st, fails = fr.run(u[:, :128], np.zeros((128, 0)))
+    fails = fails.fails
     err = np.max(np.abs(np.asarray(y)[0, 0] - y64[0, :128]))
     assert 20 * np.log10(err / np.max(np.abs(y64))) < -100
 
@@ -76,6 +78,7 @@ def test_fused_lane_sweep_birdie():
     vols = np.full((128, 1), 0.8)
     vols[64:] = 0.3
     y, st, fails = fr.run(u, vols)
+    fails = fails.fails
     # lane 0 (vol=0.8) against the f64 engine with the full input
     u_full = np.vstack([u, np.full((1, T), 0.8)])
     y64, _, _ = compile_model(M.birdie_model()).run(u_full)
