@@ -235,7 +235,7 @@ class FusedRunner:
 
     def __init__(self, model, lane_input_idx: Sequence[int] = (), *,
                  lane_scale_idx: Sequence[int] = (),
-                 newton_iters: int = 64, tol: float = 1e-9,
+                 newton_iters: int = 192, tol: float = 1e-9,
                  step_clip: float = 1.0, time_chunk: int = 512,
                  interpret: bool = False, center: bool = True,
                  center_u=None, extrapolate: bool = True, refine: int = 1,
@@ -365,17 +365,19 @@ class FusedRunner:
                 d0 = np.zeros((nn_k, np_k))
             self.dzdp0.append(d0)
 
-    def _floor_measure(self, kk, q64):
+    def _floor_measure(self, kk, q64, comp=None):
         """Empirical float32 residual floor at the points ``q64`` (nq, L):
         evaluate the element physics in simulated kernel arithmetic (float32,
         optionally with the q_lo first-order compensation) and compare with
         the float64 truth.  This captures exactly the rounding the kernel
         will see, per lane."""
+        if comp is None:
+            comp = self.compensated
         nl = self.model.nl_funcs[kk]
         res64, _ = nl(np, q64)
         qhi = q64.astype(np.float32)
         res32, Jq32 = nl(np, qhi)
-        if self.compensated:
+        if comp:
             qlo = (q64 - qhi.astype(np.float64)).astype(np.float32)
             corr = np.einsum("ac...,c...->a...", Jq32, qlo)
             res32 = res32 + corr
@@ -555,8 +557,11 @@ class FusedRunner:
                 for ksub, sub in enumerate(subs):
                     nn_k, np_k, nq_k = sub["nn"], sub["np"], sub["nq"]
                     o, po, do = sub["off"], sub["poff"], sub["doff"]
-                    tol_v = tol_ref[ksub]
-                    gate_v = gate_ref[ksub]
+                    # loop tolerance/gate at the plain-f32 floor; final
+                    # acceptance gate at the compensated floor
+                    ltol_v = tol_ref[ksub]
+                    lgate_v = gate_ref[ksub]
+                    gate_v = gate_ref[len(subs) + ksub]
                     # p = Dq x + Eq u + Fqprev z  (ref ACME.jl:681-686)
                     p = []
                     for i in range(np_k):
@@ -623,8 +628,15 @@ class FusedRunner:
                         jnp.asarray(zz, jnp.float32), z_all[o].shape)
                         for zz in z0])
 
-                    def eval_at(z):
-                        if comp:
+                    def eval_at(z, cmode):
+                        """Residual/Jacobian at z.  ``cmode`` selects the
+                        compensated (double-float q, first-order residual
+                        correction) evaluation; the cheap plain-f32 form
+                        drives the Newton loop, the compensated form the
+                        final polish step (mixed-precision iterative
+                        refinement: intermediate directions only need a few
+                        digits, the final step's residual sets accuracy)."""
+                        if cmode:
                             z_sp = [_split_rt(zz) for zz in z]
                             q = []
                             q_lo = []
@@ -651,7 +663,7 @@ class FusedRunner:
                             jnp.asarray(qq, jnp.float32), z[0].shape)
                             for qq in q])
                         res, Jq = sub["nl"](jnp, qv)
-                        if comp:
+                        if cmode:
                             # first-order correction: res(q_hi + q_lo)
                             # ~= res(q_hi) + Jq q_lo
                             corr = []
@@ -692,25 +704,36 @@ class FusedRunner:
                                 else jnp.maximum(scale, acc)
                         return res, J, Jq, resmax, scale
 
-                    # Newton loop: iterate until the residual passes tol,
-                    # or stops improving for two consecutive iterations
-                    # (stagnated at the float32 floor -- 'strikes' allows one
-                    # non-monotone recovery step), or the cap K.  The final
-                    # answer is the best iterate seen; the converged flag is
-                    # a separate, tighter judgement (res_best < gate),
-                    # mirroring the reference's warn-but-continue semantics
+                    # Two-tier Newton (mixed-precision iterative refinement):
+                    #   1. a cheap loop -- plain-f32 residuals, refine=0
+                    #      solves -- iterates until the residual reaches the
+                    #      plain-f32 floor (or stagnates for two consecutive
+                    #      iterations; 'strikes' allows one non-monotone
+                    #      recovery step), or the cap K;
+                    #   2. ONE polish step -- compensated residual, refined
+                    #       solve -- takes the final Newton step and, in the
+                    #      SAME elimination, solves the extrapolation
+                    #      sensitivity columns J \ Jp (solvers.jl:200-201).
+                    # Intermediate directions only need a few digits; the
+                    # final step's residual accuracy sets the answer's, so
+                    # the expensive arithmetic is paid once per sample
+                    # instead of once per iteration.  The converged flag is
+                    # judged on the polish residual (res < gate), mirroring
+                    # the reference's warn-but-continue semantics
                     # (ACME.jl:688-694).
-                    rel_tol = self.rel_tol if self.rel_tol is not None \
-                        else (1.5e-7 if comp else 3.0e-7)
-                    rel_gate = self.rel_gate if self.rel_gate is not None \
+                    rel_tol_l = self.rel_tol if self.rel_tol is not None \
+                        else 3.0e-7
+                    rel_gate_l = self.rel_gate if self.rel_gate is not None \
+                        else 4.0e-6
+                    rel_gate_f = self.rel_gate if self.rel_gate is not None \
                         else (2.0e-6 if comp else 4.0e-6)
 
                     def make_newton(piv):
                         def newton_iter(zs, prev_resmax, strikes):
                             z = [zs[i1] for i1 in range(nn_k)]
-                            res, J, _, resmax, scale = eval_at(z)
-                            tol_eff = jnp.maximum(tol_v, rel_tol * scale)
-                            gate_eff = jnp.maximum(gate_v, rel_gate * scale)
+                            res, J, _, resmax, scale = eval_at(z, False)
+                            tol_eff = jnp.maximum(ltol_v, rel_tol_l * scale)
+                            gate_eff = jnp.maximum(lgate_v, rel_gate_l * scale)
                             # stagnation: no meaningful progress while
                             # already below the acceptance gate (the float32
                             # floor); lanes grinding slowly above the gate
@@ -722,7 +745,7 @@ class FusedRunner:
                             done = (resmax < tol_eff) | (strikes >= 2.0)
                             dz = _solve_rows(
                                 J, [[res[ai] for ai in range(nn_k)]],
-                                refine=refine, pivot=piv)[0]
+                                refine=0, pivot=piv)[0]
                             bad = jnp.logical_not(jnp.isfinite(resmax))
                             for ai in range(nn_k):
                                 bad = bad | jnp.logical_not(
@@ -778,7 +801,7 @@ class FusedRunner:
                                 n_cond, n_body,
                                 (zs0, jnp.int32(0), zero, big, zero, zs0,
                                  big,
-                                 jnp.broadcast_to(gate_v, zs0.shape[1:]),
+                                 jnp.broadcast_to(lgate_v, zs0.shape[1:]),
                                  jnp.full(zs0.shape[1:], float(K),
                                           jnp.float32)))
                             _, _, _, _, _, zlast, rlast, glast, itv = out
@@ -790,8 +813,8 @@ class FusedRunner:
 
                     zs_fin, res_fin, gate_fin, itv_fin = run_newton(z0s)
 
-                    # rescue: lanes still above their gate restart from
-                    # z~ = 0 (the centering operating point) -- the
+                    # rescue: lanes still above their (loop) gate restart
+                    # from z~ = 0 (the centering operating point) -- the
                     # in-kernel stand-in for the reference's homotopy
                     # restart (solvers.jl:268-296).  Always pivoted: rescue
                     # handles exactly the lanes where the cheap main-path
@@ -822,20 +845,16 @@ class FusedRunner:
                         lambda args: args, rescue,
                         (zs_fin, res_fin, gate_fin, itv_fin))
                     z = [zs_fin[i1] for i1 in range(nn_k)]
-                    conv = res_fin < gate_fin
-                    fail_k = jnp.logical_not(conv)
-                    any_fail = fail_k if any_fail is None else (any_fail | fail_k)
-                    iters_s[ksub] = iters_s[ksub] + itv_fin.astype(jnp.int32)
-                    for i1 in range(nn_k):
-                        z_all[o + i1] = z[i1]
 
-                    # move the extrapolation origin on converged, finite,
-                    # non-singular solves only (solvers.jl:220-234)
+                    # polish step + extrapolation sensitivity, one shared
+                    # elimination: X = J \ [res | Jp]
+                    res_c, J, Jq, resmax_c, scale_c = eval_at(z, comp)
+                    gate_eff_f = jnp.maximum(gate_v, rel_gate_f * scale_c)
+                    rhs = [[res_c[ai] for ai in range(nn_k)]]
                     if extrap and np_k:
-                        _, J, Jq, _, _ = eval_at(z)
-                        Jp = [[None] * np_k for _ in range(nn_k)]
-                        for ai in range(nn_k):
-                            for bi in range(np_k):
+                        for bi in range(np_k):
+                            col = []
+                            for ai in range(nn_k):
                                 acc = None
                                 for ci in range(nq_k):
                                     cf = sub["pexp"][ci][bi]
@@ -843,16 +862,35 @@ class FusedRunner:
                                         continue
                                     term = Jq[ai, ci] * _f(cf)
                                     acc = term if acc is None else acc + term
-                                Jp[ai][bi] = acc if acc is not None \
-                                    else jnp.zeros_like(z[0])
-                        cols = _solve_rows(
-                            J, [[Jp[ai][bi] for ai in range(nn_k)]
-                                for bi in range(np_k)], refine=refine,
-                            pivot=pivot)
+                                col.append(acc if acc is not None
+                                           else jnp.zeros_like(z[0]))
+                            rhs.append(col)
+                    X = _solve_rows(J, rhs, refine=refine, pivot=pivot)
+                    dz = X[0]
+                    fin = jnp.isfinite(resmax_c)
+                    for ai in range(nn_k):
+                        fin = fin & jnp.isfinite(dz[ai])
+                    z = [jnp.where(fin, z[ai] - jnp.clip(dz[ai], -step_clip,
+                                                         step_clip), z[ai])
+                         for ai in range(nn_k)]
+
+                    # converged = the polish residual passed the acceptance
+                    # gate; failures follow the reference's warn path
+                    conv = resmax_c < gate_eff_f
+                    fail_k = jnp.logical_not(conv)
+                    any_fail = fail_k if any_fail is None else (any_fail | fail_k)
+                    iters_s[ksub] = iters_s[ksub] \
+                        + itv_fin.astype(jnp.int32) + 1
+                    for i1 in range(nn_k):
+                        z_all[o + i1] = z[i1]
+
+                    # move the extrapolation origin on converged, finite,
+                    # non-singular solves only (solvers.jl:220-234)
+                    if extrap and np_k:
                         ok = conv
                         for bi in range(np_k):
                             for ai in range(nn_k):
-                                ok = ok & jnp.isfinite(cols[bi][ai])
+                                ok = ok & jnp.isfinite(X[1 + bi][ai])
                         for i1 in range(nn_k):
                             zw_s[o + i1] = jnp.where(ok, z[i1], zw_s[o + i1])
                         for i2 in range(np_k):
@@ -861,7 +899,7 @@ class FusedRunner:
                             for i2 in range(np_k):
                                 di = do + i1 * np_k + i2
                                 dzdp_s[di] = jnp.where(
-                                    ok, -cols[i2][i1], dzdp_s[di])
+                                    ok, -X[1 + i2][i1], dzdp_s[di])
                     else:
                         for i1 in range(nn_k):
                             zw_s[o + i1] = jnp.where(conv, z[i1], zw_s[o + i1])
@@ -998,7 +1036,7 @@ class FusedRunner:
                          memory_space=pltpu.SMEM),
             grouped((max(nu_l, 1), Sg, LANE)),
             grouped((nsub_m, Sg, LANE)),
-            grouped((nsub_m, Sg, LANE)),
+            grouped((2 * nsub_m, Sg, LANE)),
             grouped((nx, Sg, LANE)),
             grouped((nx, Sg, LANE)),
             grouped((nn_total, Sg, LANE)),
@@ -1087,7 +1125,8 @@ class FusedRunner:
                 "dzdp": tile(dz0, max(self.dz_total, 1))}
 
     def _lane_tolerances(self, lane_values_centered, S):
-        """Per-lane convergence tolerance and stagnation gate.
+        """Per-lane loop tolerance/gate (plain-f32 floor) and final
+        acceptance gate (compensated floor).
 
         The float32 residual floor scales with the residual's term
         magnitudes, which depend on the lane constants (e.g. a drive pot at
@@ -1095,12 +1134,16 @@ class FusedRunner:
         the floor per lane at its own approximate operating q keeps corner
         lanes from being flagged non-converged -- and, more importantly,
         from spinning the shared Newton loop to its iteration cap on every
-        sample (the early exit waits for all lanes)."""
+        sample (the early exit waits for all lanes of the group).
+
+        Returns (ltol (nsub,S,128), gates (2*nsub,S,128)) with
+        gates[:nsub] the loop stagnation gates and gates[nsub:] the final
+        polish acceptance gates."""
         m = self.model
         L = S * LANE
         nsub = max(self.nsub, 1)
         tol_l = np.full((nsub, L), max(self.tol, 1e-9), np.float32)
-        gate_l = np.full((nsub, L), 32.0 * self.tol, np.float32)
+        gate_l = np.full((2 * nsub, L), 32.0 * self.tol, np.float32)
         lv = np.asarray(lane_values_centered, float)
         for kk in range(self.nsub):
             q = np.broadcast_to(self.q0_c[kk][:, None],
@@ -1109,10 +1152,13 @@ class FusedRunner:
                 eq_lane = np.asarray(m.eqs[kk], float)[:, list(self.lane_idx)]
                 q += np.asarray(m.pexps[kk], float) \
                     @ (eq_lane @ lv[:, :len(self.lane_idx)].T)
-            floor = self._floor_measure(kk, q)
-            tol_l[kk] = np.maximum(self.tol, 8.0 * floor)
-            gate_l[kk] = np.maximum(96.0 * floor, 32.0 * self.tol)
-        return (tol_l.reshape(nsub, S, LANE), gate_l.reshape(nsub, S, LANE))
+            floor_l = self._floor_measure(kk, q, comp=False)
+            floor_f = self._floor_measure(kk, q)
+            tol_l[kk] = np.maximum(self.tol, 8.0 * floor_l)
+            gate_l[kk] = np.maximum(96.0 * floor_l, 32.0 * self.tol)
+            gate_l[nsub + kk] = np.maximum(96.0 * floor_f, 32.0 * self.tol)
+        return (tol_l.reshape(nsub, S, LANE),
+                gate_l.reshape(2 * nsub, S, LANE))
 
     def run(self, u_time, lane_values, state=None):
         """u_time: (nu_t, T); lane_values: (L, nu_l); returns
