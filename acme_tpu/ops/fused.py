@@ -236,14 +236,23 @@ class FusedRunner:
     def __init__(self, model, lane_input_idx: Sequence[int] = (), *,
                  lane_scale_idx: Sequence[int] = (),
                  newton_iters: int = 192, tol: float = 1e-9,
-                 step_clip: float = 1.0, time_chunk: int = 512,
+                 step_clip: float = 1.0, time_chunk: int = 256,
                  interpret: bool = False, center: bool = True,
                  center_u=None, extrapolate: bool = True, refine: int = 1,
                  compensated: bool = True, df_state: bool = True,
                  rel_tol: float = None, rel_gate: float = None,
-                 pivot: bool = True, group_lanes: int = 1024):
+                 pivot: bool = True, group_lanes: int = 1024,
+                 fast_iters: int = 0, stall_strikes: int = 2):
         self.model = model
         self.K = int(newton_iters)
+        # unguarded fast path: this many plain Newton steps per sample with
+        # no convergence bookkeeping; the polish residual verifies them and
+        # failing lanes fall back to the gated while-loop.  0 disables
+        # (default: the blind steps trade ~15 dB of parity for ~20% speed).
+        self.fast_iters = int(fast_iters)
+        # loop exits after this many consecutive stagnant-below-gate
+        # iterations (the f32 floor); 2 allows one non-monotone recovery
+        self.stall_strikes = int(stall_strikes)
         self.tol = float(tol)
         self.step_clip = float(step_clip)
         self.Tc = int(time_chunk)
@@ -424,6 +433,8 @@ class FusedRunner:
         nx, ny, nn_total = self.nx, self.ny, self.nn_total
         np_total, dz_total = self.np_total, self.dz_total
         K, step_clip = self.K, self.step_clip
+        fast = self.fast_iters
+        stall_strikes = float(self.stall_strikes)
         extrap = self.extrapolate
         refine = self.refine
         comp = self.compensated
@@ -628,14 +639,16 @@ class FusedRunner:
                         jnp.asarray(zz, jnp.float32), z_all[o].shape)
                         for zz in z0])
 
-                    def eval_at(z, cmode):
+                    def eval_at(z, cmode, stats=True):
                         """Residual/Jacobian at z.  ``cmode`` selects the
                         compensated (double-float q, first-order residual
                         correction) evaluation; the cheap plain-f32 form
                         drives the Newton loop, the compensated form the
                         final polish step (mixed-precision iterative
                         refinement: intermediate directions only need a few
-                        digits, the final step's residual sets accuracy)."""
+                        digits, the final step's residual sets accuracy).
+                        ``stats=False`` skips the resmax/term-scale
+                        reductions (the unguarded fast path needs neither)."""
                         if cmode:
                             z_sp = [_split_rt(zz) for zz in z]
                             q = []
@@ -687,6 +700,8 @@ class FusedRunner:
                                     acc = term if acc is None else acc + term
                                 J[ai][bi] = acc if acc is not None \
                                     else jnp.zeros_like(z[0])
+                        if not stats:
+                            return res, J, Jq, None, None
                         resmax = jnp.abs(res[0])
                         for ai in range(1, nn_k):
                             resmax = jnp.maximum(resmax, jnp.abs(res[ai]))
@@ -742,7 +757,7 @@ class FusedRunner:
                                 & (resmax < gate_eff)
                             strikes = jnp.where(stalled, strikes + 1.0,
                                                 jnp.zeros_like(strikes))
-                            done = (resmax < tol_eff) | (strikes >= 2.0)
+                            done = (resmax < tol_eff) | (strikes >= stall_strikes)
                             dz = _solve_rows(
                                 J, [[res[ai] for ai in range(nn_k)]],
                                 refine=0, pivot=piv)[0]
@@ -811,18 +826,16 @@ class FusedRunner:
 
                     run_newton = make_newton(pivot)
 
-                    zs_fin, res_fin, gate_fin, itv_fin = run_newton(z0s)
-
-                    # rescue: lanes still above their (loop) gate restart
-                    # from z~ = 0 (the centering operating point) -- the
-                    # in-kernel stand-in for the reference's homotopy
-                    # restart (solvers.jl:268-296).  Always pivoted: rescue
-                    # handles exactly the lanes where the cheap main-path
-                    # solve may have gone bad.
+                    # operating-point restart: lanes still above their
+                    # (loop) gate restart from z~ = 0 -- the in-kernel
+                    # stand-in for the reference's homotopy restart
+                    # (solvers.jl:268-296).  Always pivoted: it handles
+                    # exactly the lanes where the cheap main-path solve may
+                    # have gone bad.
                     run_newton_piv = make_newton(True) if not pivot \
                         else run_newton
 
-                    def rescue(args):
+                    def op_restart(args):
                         # ONLY lanes that failed their acceptance gate may
                         # retry from the operating point, and the retry is
                         # taken only if it actually improves the residual.
@@ -840,47 +853,115 @@ class FusedRunner:
                                 jnp.where(take, g1, g0),
                                 it0 + jnp.where(okk, 0.0, it1))
 
-                    zs_fin, res_fin, gate_fin, itv_fin = jax.lax.cond(
-                        jnp.all(res_fin < gate_fin),
-                        lambda args: args, rescue,
-                        (zs_fin, res_fin, gate_fin, itv_fin))
-                    z = [zs_fin[i1] for i1 in range(nn_k)]
+                    def full_solve(zs_start):
+                        """The robust path: gated Newton while-loop, then an
+                        operating-point restart for lanes that still fail."""
+                        st = run_newton(zs_start)
+                        return jax.lax.cond(
+                            jnp.all(st[1] < st[2]), lambda a: a,
+                            op_restart, st)
 
-                    # polish step + extrapolation sensitivity, one shared
-                    # elimination: X = J \ [res | Jp]
-                    res_c, J, Jq, resmax_c, scale_c = eval_at(z, comp)
-                    gate_eff_f = jnp.maximum(gate_v, rel_gate_f * scale_c)
-                    rhs = [[res_c[ai] for ai in range(nn_k)]]
-                    if extrap and np_k:
-                        for bi in range(np_k):
-                            col = []
-                            for ai in range(nn_k):
-                                acc = None
-                                for ci in range(nq_k):
-                                    cf = sub["pexp"][ci][bi]
-                                    if cf == 0.0:
-                                        continue
-                                    term = Jq[ai, ci] * _f(cf)
-                                    acc = term if acc is None else acc + term
-                                col.append(acc if acc is not None
-                                           else jnp.zeros_like(z[0]))
-                            rhs.append(col)
-                    X = _solve_rows(J, rhs, refine=refine, pivot=pivot)
-                    dz = X[0]
-                    fin = jnp.isfinite(resmax_c)
-                    for ai in range(nn_k):
-                        fin = fin & jnp.isfinite(dz[ai])
-                    z = [jnp.where(fin, z[ai] - jnp.clip(dz[ai], -step_clip,
-                                                         step_clip), z[ai])
-                         for ai in range(nn_k)]
+                    def polish_all(zs):
+                        """Polish step + extrapolation sensitivity, one
+                        shared elimination: X = J \\ [res | Jp].  Returns
+                        (z_polished, dzdp cols, polish resmax, loop gate,
+                        final gate)."""
+                        z = [zs[i1] for i1 in range(nn_k)]
+                        res_c, J, Jq, resmax_c, scale_c = eval_at(z, comp)
+                        lgate_eff = jnp.maximum(lgate_v,
+                                                rel_gate_l * scale_c)
+                        gate_eff_f = jnp.maximum(gate_v,
+                                                 rel_gate_f * scale_c)
+                        rhs = [[res_c[ai] for ai in range(nn_k)]]
+                        if extrap and np_k:
+                            for bi in range(np_k):
+                                col = []
+                                for ai in range(nn_k):
+                                    acc = None
+                                    for ci in range(nq_k):
+                                        cf = sub["pexp"][ci][bi]
+                                        if cf == 0.0:
+                                            continue
+                                        term = Jq[ai, ci] * _f(cf)
+                                        acc = term if acc is None \
+                                            else acc + term
+                                    col.append(acc if acc is not None
+                                               else jnp.zeros_like(z[0]))
+                                rhs.append(col)
+                        X = _solve_rows(J, rhs, refine=refine, pivot=pivot)
+                        dz = X[0]
+                        fin = jnp.isfinite(resmax_c)
+                        for ai in range(nn_k):
+                            fin = fin & jnp.isfinite(dz[ai])
+                        zp = jnp.stack([
+                            jnp.where(fin, z[ai] - jnp.clip(
+                                dz[ai], -step_clip, step_clip), z[ai])
+                            for ai in range(nn_k)])
+                        if extrap and np_k:
+                            cols = jnp.stack([jnp.stack(X[1 + bi])
+                                              for bi in range(np_k)])
+                        else:
+                            cols = jnp.zeros((1,) + zp.shape[1:],
+                                             jnp.float32)
+                        return zp, cols, resmax_c, lgate_eff, gate_eff_f
+
+                    if fast > 0:
+                        # unguarded fast path: ``fast`` plain Newton steps
+                        # with no masks, gates or reductions at all -- the
+                        # polish residual is the verification.  Lanes it
+                        # fails (transients, branch changes) fall into the
+                        # robust while-loop path, re-polished after.
+                        zs_cur = z0s
+                        for _ in range(fast):
+                            zc = [zs_cur[i1] for i1 in range(nn_k)]
+                            res_f, J_f, _, _, _ = eval_at(zc, False,
+                                                          stats=False)
+                            dzf = _solve_rows(
+                                J_f, [[res_f[ai] for ai in range(nn_k)]],
+                                refine=0, pivot=pivot)[0]
+                            okf = jnp.isfinite(dzf[0])
+                            for ai in range(1, nn_k):
+                                okf = okf & jnp.isfinite(dzf[ai])
+                            zs_cur = jnp.stack([
+                                jnp.where(okf, zc[ai] - jnp.clip(
+                                    dzf[ai], -step_clip, step_clip), zc[ai])
+                                for ai in range(nn_k)])
+                        zp, cols, resmax_c, lgate_eff, gate_eff_f = \
+                            polish_all(zs_cur)
+                        itv0 = jnp.full(zp.shape[1:], float(fast + 1),
+                                        jnp.float32)
+
+                        def keep(args):
+                            # the fast path's resmax_c is PRE-polish (one
+                            # step short of the floor), so convergence is
+                            # judged against the looser loop gate: below it,
+                            # the polish step is guaranteed to finish the
+                            # job (two-tier contract)
+                            zs_c, zp, cols, rm, lg, itv = args
+                            return zp, cols, rm, lg, itv
+
+                        def redo(args):
+                            zs_c, _, _, _, _, itv = args
+                            zs4, r4, g4, itv4 = full_solve(zs_c)
+                            zp2, cols2, rm2, _, gf2 = polish_all(zs4)
+                            return zp2, cols2, rm2, gf2, itv + itv4 + 1.0
+
+                        zp, cols, resmax_c, gate_eff_f, itv_t = jax.lax.cond(
+                            jnp.all(resmax_c < lgate_eff), keep, redo,
+                            (zs_cur, zp, cols, resmax_c, lgate_eff, itv0))
+                    else:
+                        zs4, r4, g4, itv4 = full_solve(z0s)
+                        zp, cols, resmax_c, _, gate_eff_f = polish_all(zs4)
+                        itv_t = itv4 + 1.0
+
+                    z = [zp[i1] for i1 in range(nn_k)]
 
                     # converged = the polish residual passed the acceptance
                     # gate; failures follow the reference's warn path
                     conv = resmax_c < gate_eff_f
                     fail_k = jnp.logical_not(conv)
                     any_fail = fail_k if any_fail is None else (any_fail | fail_k)
-                    iters_s[ksub] = iters_s[ksub] \
-                        + itv_fin.astype(jnp.int32) + 1
+                    iters_s[ksub] = iters_s[ksub] + itv_t.astype(jnp.int32)
                     for i1 in range(nn_k):
                         z_all[o + i1] = z[i1]
 
@@ -890,7 +971,7 @@ class FusedRunner:
                         ok = conv
                         for bi in range(np_k):
                             for ai in range(nn_k):
-                                ok = ok & jnp.isfinite(X[1 + bi][ai])
+                                ok = ok & jnp.isfinite(cols[bi, ai])
                         for i1 in range(nn_k):
                             zw_s[o + i1] = jnp.where(ok, z[i1], zw_s[o + i1])
                         for i2 in range(np_k):
@@ -899,7 +980,7 @@ class FusedRunner:
                             for i2 in range(np_k):
                                 di = do + i1 * np_k + i2
                                 dzdp_s[di] = jnp.where(
-                                    ok, -X[1 + i2][i1], dzdp_s[di])
+                                    ok, -cols[i2, i1], dzdp_s[di])
                     else:
                         for i1 in range(nn_k):
                             zw_s[o + i1] = jnp.where(conv, z[i1], zw_s[o + i1])
@@ -1194,15 +1275,29 @@ class FusedRunner:
         # throughout and weak-typed python floats must not promote anything
         # to float64 (Mosaic rejects 64-bit scalars)
         with jax.enable_x64(False):
-            fn, T = self._compiled(S, T0)
-            u_pad = np.zeros((T, max(nu_t, 1)), np.float32)
-            if nu_t:
-                u_pad[:T0, :] = u_time.T
-            y, x_o, xlo_o, z_o, zw_o, wp_o, dz_o, fails, iters = fn(
-                jnp.asarray(u_pad), jnp.asarray(lv),
-                jnp.asarray(tol_l), jnp.asarray(gate_l),
-                state["x"], state["xlo"], state["z"], state["zw"],
-                state["wp"], state["dzdp"])
+            # Mosaic sizes the kernel's live-value stack inside the same
+            # 16 MB scoped-VMEM budget as the block buffers, and the stack
+            # need is not predictable from here; on a scoped-vmem OOM,
+            # halve the time chunk (shrinking the double-buffered y block)
+            # and recompile.
+            for attempt in range(6):
+                fn, T = self._compiled(S, T0)
+                u_pad = np.zeros((T, max(nu_t, 1)), np.float32)
+                if nu_t:
+                    u_pad[:T0, :] = u_time.T
+                try:
+                    y, x_o, xlo_o, z_o, zw_o, wp_o, dz_o, fails, iters = fn(
+                        jnp.asarray(u_pad), jnp.asarray(lv),
+                        jnp.asarray(tol_l), jnp.asarray(gate_l),
+                        state["x"], state["xlo"], state["z"], state["zw"],
+                        state["wp"], state["dzdp"])
+                    break
+                except Exception as e:  # jax.errors.JaxRuntimeError etc.
+                    if ("vmem" not in str(e).lower()
+                            or self.Tc <= 8 or attempt == 5):
+                        raise
+                    self._jit_cache.pop((S, T0), None)
+                    self.Tc = max(8, self.Tc // 2)
         y = jnp.transpose(y, (2, 3, 1, 0)).reshape(S * LANE,
                                                    max(self.ny, 1), T)
         y = y[:, :self.ny, :T0]
