@@ -241,6 +241,7 @@ class FusedRunner:
                  center_u=None, extrapolate: bool = True, refine: int = 1,
                  compensated: bool = True, df_state: bool = True,
                  rel_tol: float = None, rel_gate: float = None,
+                 rel_tol_polish: float = None, polish_iters: int = 10,
                  pivot: bool = True, group_lanes: int = 1024,
                  fast_iters: int = 0, stall_strikes: int = 2):
         self.model = model
@@ -273,6 +274,15 @@ class FusedRunner:
         self.group_S = max(1, int(group_lanes) // LANE)
         self.rel_tol = rel_tol
         self.rel_gate = rel_gate
+        # the polish loop iterates (compensated residual, refined solve)
+        # until the pre-step residual is below max(static comp floor,
+        # rel_tol_polish * live term scale), capped at polish_iters.  The
+        # residual bound is what limits the z error (scaled by cond(J)), so
+        # this is the knob that sets output accuracy on ill-conditioned
+        # lanes (pot end-stops, supply transients): 3e-7 -> -50 dB,
+        # 3e-8 -> -103 dB measured on the tone=0.05 superover corner.
+        self.rel_tol_polish = rel_tol_polish
+        self.polish_iters = max(1, int(polish_iters))
         self.lane_idx = tuple(int(i) for i in lane_input_idx)
         # lane-scaled inputs: time-varying rows multiplied by a per-lane
         # constant (e.g. one audio stream fanned out at 4096 input levels)
@@ -476,7 +486,16 @@ class FusedRunner:
                 q0_sp=[_const_split(v) for v in q0_m],
                 tol=self.tols[kk], gate=self.gates[kk],
                 off=zoff, poff=poff, doff=doff,
-                nn=m.nn(kk), np=m.np(kk), nq=m.nq(kk)))
+                nn=m.nn(kk), np=m.np(kk), nq=m.nq(kk),
+                # uniform per-component Newton step bound.  (A q-space
+                # scaled variant -- step_clip / max|Fq column| -- was
+                # tried and REVERTED: components coupling weakly to q get
+                # ~1e4-unit clips, and one giant step at a clipping corner
+                # jumps Newton into a different solution basin; the lane
+                # then tracks the wrong root indefinitely.  Ref overshoot
+                # handling: Newton simply bails, solvers.jl:220-225; we
+                # damp instead.)
+                zclip=[self.step_clip for _ in range(m.nn(kk))]))
             zoff += m.nn(kk)
             poff += m.np(kk)
             doff += m.nn(kk) * m.np(kk)
@@ -520,10 +539,11 @@ class FusedRunner:
         pivot = self.pivot
 
         def kernel(u_ref, lane_ref, tol_ref, gate_ref,
-                   x_in, xlo_in, z_in, zw_in, wp_in, dzdp_in,
+                   x_in, xlo_in, z_in, zw_in, wp_in, dzdp_in, pmode_in,
                    y_ref, x_out, xlo_out, z_out, zw_out, wp_out, dzdp_out,
-                   fail_out, iters_out,
-                   x_s, xlo_s, z_s, zw_s, wp_s, dzdp_s, fail_s, iters_s):
+                   pmode_out, fail_out, iters_out,
+                   x_s, xlo_s, z_s, zw_s, wp_s, dzdp_s, pmode_s, fail_s,
+                   iters_s):
             # grid = (lane groups, time chunks), time fastest: each group
             # runs its whole time axis with state resident in VMEM scratch,
             # then the next group starts (re-initializing from its in-block)
@@ -542,6 +562,7 @@ class FusedRunner:
                     wp_s[...] = wp_in[...]
                 if dz_total and extrap:
                     dzdp_s[...] = dzdp_in[...]
+                pmode_s[...] = pmode_in[...]
                 fail_s[...] = jnp.zeros_like(fail_s)
                 iters_s[...] = jnp.zeros_like(iters_s)
 
@@ -573,6 +594,14 @@ class FusedRunner:
                     ltol_v = tol_ref[ksub]
                     lgate_v = gate_ref[ksub]
                     gate_v = gate_ref[len(subs) + ksub]
+                    ptol_v = gate_ref[2 * len(subs) + ksub]
+                    zclip = sub["zclip"]
+                    # pmode_s[ksub] carries "this lane was accepted via
+                    # polish floor-stall last sample" across samples/runs.
+                    # Currently diagnostic state only: letting it skip the
+                    # cheap loop entirely was tried and REVERTED (mode
+                    # chains at steady-state cond spikes drift off the
+                    # solution while staying "accepted").
                     # p = Dq x + Eq u + Fqprev z  (ref ACME.jl:681-686)
                     p = []
                     for i in range(np_k):
@@ -742,6 +771,10 @@ class FusedRunner:
                         else 4.0e-6
                     rel_gate_f = self.rel_gate if self.rel_gate is not None \
                         else (2.0e-6 if comp else 4.0e-6)
+                    rel_tol_pol = self.rel_tol_polish \
+                        if self.rel_tol_polish is not None \
+                        else (3.0e-8 if comp else 3.0e-7)
+                    P_pol = self.polish_iters if comp else 1
 
                     def make_newton(piv):
                         def newton_iter(zs, prev_resmax, strikes):
@@ -749,18 +782,27 @@ class FusedRunner:
                             res, J, _, resmax, scale = eval_at(z, False)
                             tol_eff = jnp.maximum(ltol_v, rel_tol_l * scale)
                             gate_eff = jnp.maximum(lgate_v, rel_gate_l * scale)
+                            dz = _solve_rows(
+                                J, [[res[ai] for ai in range(nn_k)]],
+                                refine=0, pivot=piv)[0]
                             # stagnation: no meaningful progress while
                             # already below the acceptance gate (the float32
                             # floor); lanes grinding slowly above the gate
-                            # keep going
+                            # keep going.  (An "unclipped-step plateau" exit
+                            # above the gate was tried and REVERTED: near a
+                            # clipping knee Newton can make <0.5% progress
+                            # for a couple of unclipped iterations
+                            # mid-descent, and bailing there hands the
+                            # polish a point from which it tracks the wrong
+                            # solution branch -- the level-2.0 sweep hopped
+                            # roots at ~sample 2000 and never recovered.)
                             stalled = (resmax >= 0.995 * prev_resmax) \
                                 & (resmax < gate_eff)
                             strikes = jnp.where(stalled, strikes + 1.0,
                                                 jnp.zeros_like(strikes))
-                            done = (resmax < tol_eff) | (strikes >= stall_strikes)
-                            dz = _solve_rows(
-                                J, [[res[ai] for ai in range(nn_k)]],
-                                refine=0, pivot=piv)[0]
+                            struck = strikes >= stall_strikes
+                            done = (resmax < tol_eff) | struck
+                            plat = struck & (resmax >= gate_eff)
                             bad = jnp.logical_not(jnp.isfinite(resmax))
                             for ai in range(nn_k):
                                 bad = bad | jnp.logical_not(
@@ -769,25 +811,26 @@ class FusedRunner:
                             # bounded steps: an overshoot on the junction
                             # exponentials walks back in a few iterations
                             # instead of crawling from multi-volt excursions
-                            dz = [jnp.clip(d, -step_clip, step_clip)
-                                  for d in dz]
+                            dz = [jnp.clip(d, -zclip[ai], zclip[ai])
+                                  for ai, d in enumerate(dz)]
                             z_new = jnp.stack([
                                 jnp.where(move, z[ai] - dz[ai], z[ai])
                                 for ai in range(nn_k)])
                             # Mosaic cannot carry i1 vectors through
                             # scf.while: masks travel as float32 0/1
                             return (z_new, done.astype(jnp.float32), resmax,
-                                    strikes, gate_eff)
+                                    strikes, gate_eff,
+                                    plat.astype(jnp.float32))
 
                         def n_cond(st):
-                            _, it, done, _, _, _, _, _, _ = st
+                            _, it, done, _, _, _, _, _, _, _ = st
                             return jnp.logical_and(
                                 it < K, jnp.logical_not(jnp.all(done > 0.5)))
 
                         def n_body(st):
                             (zs, it, done_prev, prev, strikes,
-                             zlast, rlast, glast, itv) = st
-                            z_new, done, resmax, strikes, gate_eff = \
+                             zlast, rlast, glast, itv, plat) = st
+                            z_new, done, resmax, strikes, gate_eff, plat_n = \
                                 newton_iter(zs, prev, strikes)
                             # remember the last *evaluated* iterate per lane
                             # (the loop steps after evaluating; once a lane
@@ -800,6 +843,7 @@ class FusedRunner:
                             zlast = jnp.where(live[None], zs, zlast)
                             rlast = jnp.where(live, resmax, rlast)
                             glast = jnp.where(live, gate_eff, glast)
+                            plat = jnp.where(live, plat_n, plat)
                             # per-lane iteration count at which the lane
                             # finished (reference needediterations,
                             # solvers.jl:205); stuck lanes keep K
@@ -807,7 +851,7 @@ class FusedRunner:
                                             (it + 1).astype(jnp.float32),
                                             itv)
                             return (z_new, it + 1, done, resmax, strikes,
-                                    zlast, rlast, glast, itv)
+                                    zlast, rlast, glast, itv, plat)
 
                         def run(zs0):
                             big = jnp.full(zs0.shape[1:], 3e38, jnp.float32)
@@ -818,9 +862,10 @@ class FusedRunner:
                                  big,
                                  jnp.broadcast_to(lgate_v, zs0.shape[1:]),
                                  jnp.full(zs0.shape[1:], float(K),
-                                          jnp.float32)))
-                            _, _, _, _, _, zlast, rlast, glast, itv = out
-                            return zlast, rlast, glast, itv
+                                          jnp.float32), zero))
+                            (_, _, _, _, _, zlast, rlast, glast, itv,
+                             plat) = out
+                            return zlast, rlast, glast, itv, plat
 
                         return run
 
@@ -843,35 +888,38 @@ class FusedRunner:
                         # solution: replacing it with a marginally-better
                         # restart solution hops between solution branches of
                         # multi-root subsystems and corrupts the waveform.
-                        zs0, r0, g0, it0 = args
-                        okk = r0 < g0
+                        # Plateau-exited lanes (solve-error floor) skip the
+                        # restart: z=0 replays the same plateau; the
+                        # compensated polish is what finishes them.
+                        zs0, r0, g0, it0, pl0 = args
+                        okk = (r0 < g0) | (pl0 > 0.5)
                         zs_r = jnp.where(okk[None], zs0, jnp.zeros_like(zs0))
-                        zs1, r1, g1, it1 = run_newton_piv(zs_r)
+                        zs1, r1, g1, it1, _ = run_newton_piv(zs_r)
                         take = jnp.logical_not(okk) & (r1 < r0)
                         return (jnp.where(take[None], zs1, zs0),
                                 jnp.where(take, r1, r0),
                                 jnp.where(take, g1, g0),
-                                it0 + jnp.where(okk, 0.0, it1))
+                                it0 + jnp.where(okk, 0.0, it1), pl0)
 
                     def full_solve(zs_start):
                         """The robust path: gated Newton while-loop, then an
                         operating-point restart for lanes that still fail."""
                         st = run_newton(zs_start)
                         return jax.lax.cond(
-                            jnp.all(st[1] < st[2]), lambda a: a,
-                            op_restart, st)
+                            jnp.all((st[1] < st[2]) | (st[4] > 0.5)),
+                            lambda a: a, op_restart, st)
 
-                    def polish_all(zs):
-                        """Polish step + extrapolation sensitivity, one
-                        shared elimination: X = J \\ [res | Jp].  Returns
-                        (z_polished, dzdp cols, polish resmax, loop gate,
-                        final gate)."""
+                    def polish_eval(zs):
+                        """One compensated evaluation + shared elimination
+                        X = J \\ [res | Jp] at zs."""
                         z = [zs[i1] for i1 in range(nn_k)]
                         res_c, J, Jq, resmax_c, scale_c = eval_at(z, comp)
                         lgate_eff = jnp.maximum(lgate_v,
                                                 rel_gate_l * scale_c)
                         gate_eff_f = jnp.maximum(gate_v,
                                                  rel_gate_f * scale_c)
+                        tol_pol = jnp.maximum(ptol_v,
+                                              rel_tol_pol * scale_c)
                         rhs = [[res_c[ai] for ai in range(nn_k)]]
                         if extrap and np_k:
                             for bi in range(np_k):
@@ -893,17 +941,86 @@ class FusedRunner:
                         fin = jnp.isfinite(resmax_c)
                         for ai in range(nn_k):
                             fin = fin & jnp.isfinite(dz[ai])
-                        zp = jnp.stack([
-                            jnp.where(fin, z[ai] - jnp.clip(
-                                dz[ai], -step_clip, step_clip), z[ai])
-                            for ai in range(nn_k)])
                         if extrap and np_k:
                             cols = jnp.stack([jnp.stack(X[1 + bi])
                                               for bi in range(np_k)])
                         else:
-                            cols = jnp.zeros((1,) + zp.shape[1:],
+                            cols = jnp.zeros((1,) + zs.shape[1:],
                                              jnp.float32)
-                        return zp, cols, resmax_c, lgate_eff, gate_eff_f
+                        return (dz, cols, resmax_c, lgate_eff, gate_eff_f,
+                                tol_pol, fin)
+
+                    def polish_all(zs):
+                        """Iterated polish: compensated-residual,
+                        refined-solve Newton steps until the (pre-step)
+                        residual is below the polish tolerance, at most
+                        P_pol of them; every lane takes at least one step
+                        (the classic two-tier polish).  Each elimination
+                        also refreshes the extrapolation sensitivity
+                        J \\ Jp (solvers.jl:200-201).  The extra steps are
+                        what finish ill-conditioned lanes (pot end-stops,
+                        supply-rail transients) whose plain-f32 loop
+                        plateaus above its solve-error floor: the residual
+                        bound times cond(J) limits the z error, so the
+                        polish tolerance is what sets output accuracy
+                        there (tone=0.05 superover corner: -50 dB at
+                        3e-7 * scale, -103 dB at 3e-8 * scale).  Returns
+                        (z, dzdp cols, last-eval resmax, first-eval resmax,
+                        loop gate, final gate, floor-stall flag, eval
+                        count)."""
+                        sh = zs.shape[1:]
+                        big = jnp.full(sh, 3e38, jnp.float32)
+                        if extrap and np_k:
+                            cols0 = jnp.zeros((np_k, nn_k) + sh, jnp.float32)
+                        else:
+                            cols0 = jnp.zeros((1,) + sh, jnp.float32)
+
+                        def p_cond(st):
+                            _, _, rm, _, _, _, tp, _, k = st
+                            return jnp.logical_and(
+                                k < P_pol,
+                                jnp.logical_not(jnp.all(rm < tp)))
+
+                        def p_body(st):
+                            zs_c, _, rm_prev, rm1, _, _, _, pstall, k = st
+                            (dz, cols, resmax_c, lgate_eff, gate_eff_f,
+                             tol_pol, fin) = polish_eval(zs_c)
+                            act = fin & ((k == 0) | (resmax_c >= tol_pol))
+                            # polish floor: an active lane whose compensated
+                            # residual stopped improving on full unclipped
+                            # steps is at the f32-complete answer -- there
+                            # is nothing below it in this precision, so the
+                            # caller accepts it as converged (hard
+                            # transients push the residual floor above any
+                            # a-priori gate while the solution itself stays
+                            # at reference parity)
+                            unclip = None
+                            for ai in range(nn_k):
+                                u_i = jnp.abs(dz[ai]) < 0.9 * zclip[ai]
+                                unclip = u_i if unclip is None \
+                                    else unclip & u_i
+                            stall_now = act & unclip \
+                                & (resmax_c >= 0.995 * rm_prev)
+                            pstall = jnp.where(
+                                act, stall_now.astype(jnp.float32), pstall)
+                            zp = jnp.stack([
+                                jnp.where(act, zs_c[ai] - jnp.clip(
+                                    dz[ai], -zclip[ai], zclip[ai]),
+                                    zs_c[ai])
+                                for ai in range(nn_k)])
+                            rm1 = jnp.where(k == 0, resmax_c, rm1)
+                            return (zp, cols, resmax_c, rm1, lgate_eff,
+                                    gate_eff_f, tol_pol, pstall, k + 1)
+
+                        zero = jnp.zeros(sh, jnp.float32)
+                        st = (zs, cols0, big, big,
+                              jnp.broadcast_to(lgate_v, sh),
+                              jnp.broadcast_to(gate_v, sh),
+                              jnp.broadcast_to(ptol_v, sh), zero,
+                              jnp.int32(0))
+                        (zp, cols, rm, rm1, lg, gf, _, pstall, k) = \
+                            jax.lax.while_loop(p_cond, p_body, st)
+                        return zp, cols, rm, rm1, lg, gf, pstall, k
 
                     if fast > 0:
                         # unguarded fast path: ``fast`` plain Newton steps
@@ -924,51 +1041,75 @@ class FusedRunner:
                                 okf = okf & jnp.isfinite(dzf[ai])
                             zs_cur = jnp.stack([
                                 jnp.where(okf, zc[ai] - jnp.clip(
-                                    dzf[ai], -step_clip, step_clip), zc[ai])
+                                    dzf[ai], -zclip[ai], zclip[ai]), zc[ai])
                                 for ai in range(nn_k)])
-                        zp, cols, resmax_c, lgate_eff, gate_eff_f = \
-                            polish_all(zs_cur)
-                        itv0 = jnp.full(zp.shape[1:], float(fast + 1),
-                                        jnp.float32)
+                        (zp, cols, resmax_c, rm1, lgate_eff, gate_eff_f,
+                         pstall, kp) = polish_all(zs_cur)
+                        itv0 = jnp.full(zp.shape[1:], float(fast),
+                                        jnp.float32) \
+                            + kp.astype(jnp.float32)
 
                         def keep(args):
-                            # the fast path's resmax_c is PRE-polish (one
-                            # step short of the floor), so convergence is
-                            # judged against the looser loop gate: below it,
-                            # the polish step is guaranteed to finish the
-                            # job (two-tier contract)
-                            zs_c, zp, cols, rm, lg, itv = args
-                            return zp, cols, rm, lg, itv
+                            # the fast path's verification residual rm1 is
+                            # PRE-polish (one step short of the floor), so
+                            # convergence is judged against the looser loop
+                            # gate: below it, the polish is guaranteed to
+                            # finish the job (two-tier contract)
+                            zs_c, zp, cols, rm, gf, ps, itv = args
+                            return zp, cols, rm, gf, ps, itv
 
                         def redo(args):
-                            zs_c, _, _, _, _, itv = args
-                            zs4, r4, g4, itv4 = full_solve(zs_c)
-                            zp2, cols2, rm2, _, gf2 = polish_all(zs4)
-                            return zp2, cols2, rm2, gf2, itv + itv4 + 1.0
+                            zs_c, _, _, _, _, _, itv = args
+                            zs4, r4, g4, itv4, _ = full_solve(zs_c)
+                            (zp2, cols2, rm2, _, _, gf2, ps2,
+                             kp2) = polish_all(zs4)
+                            return (zp2, cols2, rm2, gf2, ps2,
+                                    itv + itv4 + kp2.astype(jnp.float32))
 
-                        zp, cols, resmax_c, gate_eff_f, itv_t = jax.lax.cond(
-                            jnp.all(resmax_c < lgate_eff), keep, redo,
-                            (zs_cur, zp, cols, resmax_c, lgate_eff, itv0))
+                        (zp, cols, resmax_c, gate_eff_f, pstall,
+                         itv_t) = jax.lax.cond(
+                            jnp.all(rm1 < lgate_eff), keep, redo,
+                            (zs_cur, zp, cols, resmax_c, gate_eff_f,
+                             pstall, itv0))
                     else:
-                        zs4, r4, g4, itv4 = full_solve(z0s)
-                        zp, cols, resmax_c, _, gate_eff_f = polish_all(zs4)
-                        itv_t = itv4 + 1.0
+                        zs4, r4, g4, itv4, _ = full_solve(z0s)
+                        (zp, cols, resmax_c, _, _, gate_eff_f, pstall,
+                         kp) = polish_all(zs4)
+                        itv_t = itv4 + kp.astype(jnp.float32)
 
                     z = [zp[i1] for i1 in range(nn_k)]
 
                     # converged = the polish residual passed the acceptance
-                    # gate; failures follow the reference's warn path
-                    conv = resmax_c < gate_eff_f
+                    # gate; failures follow the reference's warn path.
+                    # Floor-stalled lanes (polish at its own f32 floor on
+                    # unclipped steps) count as converged: their answer is
+                    # the best this precision admits.
+                    conv = (resmax_c < gate_eff_f) | (pstall > 0.5)
                     fail_k = jnp.logical_not(conv)
                     any_fail = fail_k if any_fail is None else (any_fail | fail_k)
+                    pmode_s[ksub] = pstall
                     iters_s[ksub] = iters_s[ksub] + itv_t.astype(jnp.int32)
                     for i1 in range(nn_k):
                         z_all[o + i1] = z[i1]
 
-                    # move the extrapolation origin on converged, finite,
-                    # non-singular solves only (solvers.jl:220-234)
+                    # move the extrapolation origin on accepted-or-
+                    # floor-stalled, finite, non-singular solves
+                    # (solvers.jl:220-234).  The pstall case matters: on a
+                    # hard transient no sample certifies, and freezing the
+                    # origin makes the p-distance grow every sample -- the
+                    # extrapolated start drifts ever further and the lane
+                    # crawls its whole clipped-step budget each sample (a
+                    # measured 192-iters x 2000-samples pathology on the
+                    # varying-pot power-up ramp).  Updating on any finite z
+                    # (not only accepted ones) measured strictly better
+                    # than conv-gating on both the pots ramp (stale
+                    # origins re-derail the late ramp) and the hard-clip
+                    # sweep; z_all already follows the same iterate either
+                    # way, so the origin tracking it is consistent.
+                    ok = jnp.isfinite(resmax_c)
+                    for i1 in range(nn_k):
+                        ok = ok & jnp.isfinite(z[i1])
                     if extrap and np_k:
-                        ok = conv
                         for bi in range(np_k):
                             for ai in range(nn_k):
                                 ok = ok & jnp.isfinite(cols[bi, ai])
@@ -983,7 +1124,7 @@ class FusedRunner:
                                     ok, -cols[i2, i1], dzdp_s[di])
                     else:
                         for i1 in range(nn_k):
-                            zw_s[o + i1] = jnp.where(conv, z[i1], zw_s[o + i1])
+                            zw_s[o + i1] = jnp.where(ok, z[i1], zw_s[o + i1])
 
                 # output row and state update (ref ACME.jl:699-714).
                 # With df_state the state is an unevaluated (hi, lo) pair
@@ -1055,6 +1196,7 @@ class FusedRunner:
                     wp_out[...] = wp_s[...]
                 if dz_total and extrap:
                     dzdp_out[...] = dzdp_s[...]
+                pmode_out[...] = pmode_s[...]
                 fail_out[...] = fail_s[...]
                 iters_out[...] = iters_s[...]
 
@@ -1117,13 +1259,14 @@ class FusedRunner:
                          memory_space=pltpu.SMEM),
             grouped((max(nu_l, 1), Sg, LANE)),
             grouped((nsub_m, Sg, LANE)),
-            grouped((2 * nsub_m, Sg, LANE)),
+            grouped((3 * nsub_m, Sg, LANE)),
             grouped((nx, Sg, LANE)),
             grouped((nx, Sg, LANE)),
             grouped((nn_total, Sg, LANE)),
             grouped((nn_total, Sg, LANE)),
             grouped((np_total, Sg, LANE)),
             grouped((dz_total, Sg, LANE)),
+            grouped((nsub_m, Sg, LANE)),
         ]
         out_specs = [
             pl.BlockSpec((Tc, max(ny, 1), Sg, LANE),
@@ -1135,6 +1278,7 @@ class FusedRunner:
             grouped((nn_total, Sg, LANE)),
             grouped((np_total, Sg, LANE)),
             grouped((dz_total, Sg, LANE)),
+            grouped((nsub_m, Sg, LANE)),
             pl.BlockSpec((Sg, LANE), lambda g, i: (g, 0),
                          memory_space=pltpu.VMEM),
             grouped((nsub_m, Sg, LANE)),
@@ -1152,6 +1296,7 @@ class FusedRunner:
                 jax.ShapeDtypeStruct((nn_total, S, LANE), dt),
                 jax.ShapeDtypeStruct((np_total, S, LANE), dt),
                 jax.ShapeDtypeStruct((dz_total, S, LANE), dt),
+                jax.ShapeDtypeStruct((nsub_m, S, LANE), dt),
                 jax.ShapeDtypeStruct((S, LANE), jnp.int32),
                 jax.ShapeDtypeStruct((nsub_m, S, LANE), jnp.int32),
             ],
@@ -1162,6 +1307,7 @@ class FusedRunner:
                 pltpu.VMEM((nn_total, Sg, LANE), dt),
                 pltpu.VMEM((np_total, Sg, LANE), dt),
                 pltpu.VMEM((dz_total, Sg, LANE), dt),
+                pltpu.VMEM((nsub_m, Sg, LANE), dt),
                 pltpu.VMEM((Sg, LANE), jnp.int32),
                 pltpu.VMEM((nsub_m, Sg, LANE), jnp.int32),
             ],
@@ -1203,7 +1349,9 @@ class FusedRunner:
                 "zw": tile(z0, max(self.nn_total, 1)),
                 "wp": tile(np.zeros(max(self.np_total, 1)),
                            max(self.np_total, 1)),
-                "dzdp": tile(dz0, max(self.dz_total, 1))}
+                "dzdp": tile(dz0, max(self.dz_total, 1)),
+                "pmode": tile(np.zeros(max(self.nsub, 1)),
+                              max(self.nsub, 1))}
 
     def _lane_tolerances(self, lane_values_centered, S):
         """Per-lane loop tolerance/gate (plain-f32 floor) and final
@@ -1217,14 +1365,16 @@ class FusedRunner:
         from spinning the shared Newton loop to its iteration cap on every
         sample (the early exit waits for all lanes of the group).
 
-        Returns (ltol (nsub,S,128), gates (2*nsub,S,128)) with
-        gates[:nsub] the loop stagnation gates and gates[nsub:] the final
-        polish acceptance gates."""
+        Returns (ltol (nsub,S,128), gates (3*nsub,S,128)) with
+        gates[:nsub] the loop stagnation gates, gates[nsub:2*nsub] the
+        final polish acceptance gates, and gates[2*nsub:] the polish
+        target tolerances (compensated floor)."""
         m = self.model
         L = S * LANE
         nsub = max(self.nsub, 1)
         tol_l = np.full((nsub, L), max(self.tol, 1e-9), np.float32)
-        gate_l = np.full((2 * nsub, L), 32.0 * self.tol, np.float32)
+        gate_l = np.full((3 * nsub, L), 32.0 * self.tol, np.float32)
+        gate_l[2 * nsub:] = max(self.tol, 1e-9)
         lv = np.asarray(lane_values_centered, float)
         for kk in range(self.nsub):
             q = np.broadcast_to(self.q0_c[kk][:, None],
@@ -1238,8 +1388,9 @@ class FusedRunner:
             tol_l[kk] = np.maximum(self.tol, 8.0 * floor_l)
             gate_l[kk] = np.maximum(96.0 * floor_l, 32.0 * self.tol)
             gate_l[nsub + kk] = np.maximum(96.0 * floor_f, 32.0 * self.tol)
+            gate_l[2 * nsub + kk] = np.maximum(self.tol, 8.0 * floor_f)
         return (tol_l.reshape(nsub, S, LANE),
-                gate_l.reshape(2 * nsub, S, LANE))
+                gate_l.reshape(3 * nsub, S, LANE))
 
     def run(self, u_time, lane_values, state=None):
         """u_time: (nu_t, T); lane_values: (L, nu_l); returns
@@ -1286,11 +1437,14 @@ class FusedRunner:
                 if nu_t:
                     u_pad[:T0, :] = u_time.T
                 try:
-                    y, x_o, xlo_o, z_o, zw_o, wp_o, dz_o, fails, iters = fn(
+                    (y, x_o, xlo_o, z_o, zw_o, wp_o, dz_o, pm_o, fails,
+                     iters) = fn(
                         jnp.asarray(u_pad), jnp.asarray(lv),
                         jnp.asarray(tol_l), jnp.asarray(gate_l),
                         state["x"], state["xlo"], state["z"], state["zw"],
-                        state["wp"], state["dzdp"])
+                        state["wp"], state["dzdp"],
+                        state.get("pmode", jnp.zeros(
+                            (max(self.nsub, 1), S, LANE), jnp.float32)))
                     break
                 except Exception as e:  # jax.errors.JaxRuntimeError etc.
                     if ("vmem" not in str(e).lower()
@@ -1302,7 +1456,7 @@ class FusedRunner:
                                                    max(self.ny, 1), T)
         y = y[:, :self.ny, :T0]
         state = {"x": x_o, "xlo": xlo_o, "z": z_o, "zw": zw_o,
-                 "wp": wp_o, "dzdp": dz_o}
+                 "wp": wp_o, "dzdp": dz_o, "pmode": pm_o}
         info = FusedInfo(
             fails=fails.reshape(-1),
             iters=jnp.transpose(iters, (1, 2, 0)).reshape(S * LANE, -1))
