@@ -52,4 +52,4 @@ __all__ = [
     "default_solver", "homotopy_simple_solver",
 ]
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"

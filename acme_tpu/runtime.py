@@ -43,8 +43,28 @@ class ModelRunner:
             y = np.zeros((model.ny, T))
         elif y.shape != (model.ny, T):
             raise ValueError("output matrix has wrong shape")
+        if not self.showprogress:
+            for n in range(T):
+                self.step(y, u, n)
+            return y
+        # progress bar on the hot loop (ref ACME.jl:653 ProgressMeter),
+        # throttled to ~4 updates/s so it never dominates the run
+        import sys
+        import time
+        t0 = last = time.time()
         for n in range(T):
             self.step(y, u, n)
+            now = time.time()
+            if now - last >= 0.25 or n == T - 1:
+                last = now
+                frac = (n + 1) / T
+                bar = "#" * int(30 * frac)
+                rate = (n + 1) / max(now - t0, 1e-9)
+                eta = (T - n - 1) / max(rate, 1e-9)
+                print(f"\rRunning model: {frac:4.0%} |{bar:<30s}| "
+                      f"{n + 1}/{T} ({rate:,.0f} smp/s, ETA {eta:4.1f}s)",
+                      end="", file=sys.stderr, flush=True)
+        print(file=sys.stderr)
         return y
 
     def step(self, y, u, n):
