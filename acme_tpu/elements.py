@@ -17,6 +17,7 @@ import numpy as np
 
 from .element import Element, NLFunc
 from .utils.units import magnitude as _mag
+from .utils.units import magnitude_poly as _mag_poly
 
 __all__ = [
     "resistor", "potentiometer", "capacitor", "inductor", "transformer",
@@ -434,10 +435,13 @@ def mosfet(typ, *, vt=0.7, alpha=2e-5, lam=0.0, **aliases):
         polarity = -1.0
     else:
         raise ValueError(f"Unknown mosfet type {typ!r}, must be 'n' or 'p'")
-    vt = tuple(_mag(v, "voltage") if hasattr(v, "dims") else float(v)
-               for v in np.atleast_1d(vt))
-    alpha = tuple(_mag(v, "transconductance") if hasattr(v, "dims") else float(v)
-                  for v in np.atleast_1d(alpha))
+    # polynomial coefficients in v_GS: degree-k coefficient of vt carries
+    # V^(1-k), of alpha A/V^(2+k) (ref ext/UnitfulExt.jl:89-110)
+    vt = tuple(_mag_poly(v, "voltage", k) if hasattr(v, "dims") else float(v)
+               for k, v in enumerate(np.atleast_1d(vt)))
+    alpha = tuple(_mag_poly(v, "transconductance", k)
+                  if hasattr(v, "dims") else float(v)
+                  for k, v in enumerate(np.atleast_1d(alpha)))
     dvt = tuple(c * (i + 1) for i, c in enumerate(vt[1:]))
     dalpha = tuple(c * (i + 1) for i, c in enumerate(alpha[1:]))
 

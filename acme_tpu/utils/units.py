@@ -20,7 +20,8 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Tuple
 
-__all__ = ["Quantity", "Unit", "units", "UnitError", "magnitude"]
+__all__ = ["Quantity", "Unit", "units", "UnitError", "magnitude",
+           "magnitude_poly"]
 
 Dims = Tuple[int, int, int, int]  # exponents of (m, kg, s, A)
 
@@ -130,6 +131,23 @@ _EXPECTED = {
     "inverse_voltage": units.per_V.dims,
     "dimensionless": _D0,
 }
+
+
+def magnitude_poly(x, kind: str, degree: int):
+    """Strip units from the degree-``degree`` coefficient of a polynomial in
+    a voltage: the expected dimension is ``kind`` / V**degree, e.g. a mosfet
+    threshold polynomial vt = (vt0, vt1, vt2) has units (V, dimensionless,
+    1/V) (ref ext/UnitfulExt.jl:89-91)."""
+    if isinstance(x, Quantity):
+        base = _EXPECTED[kind]
+        vd = units.V.dims
+        exp = tuple(b - degree * v for b, v in zip(base, vd))
+        if x.dims != exp:
+            raise UnitError(
+                f"expected {kind}/V^{degree} ({exp}), got dimensions "
+                f"{x.dims}")
+        return float(x.value)
+    return float(x)
 
 
 def magnitude(x, kind: str = None):

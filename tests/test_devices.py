@@ -298,3 +298,42 @@ def test_jiles_atherton_transformer():
     np.testing.assert_allclose(y[0], y[1], rtol=2.5e-2)
     y = A.run(model, 10 * u)[:, 200:]
     assert not np.allclose(y[0], y[1], rtol=0.5)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("typ,ib", [("npn", 1e-3), ("pnp", -1e-3)])
+def test_bjt_gummel_poon_full_grid(typ, ib):
+    """The reference's full 2^9 Gummel-Poon grid: every one of ile, ilc,
+    etacl, etael, vaf, var, ikf, ikr toggled independently between its
+    Ebers-Moll default and a non-trivial value, x npn/pnp
+    (ref test/runtests.jl:513-546), each swept and checked against the
+    closed-form equations to 1e-10."""
+    import itertools
+    N = 10
+    u = np.vstack([np.linspace(0, ib, N),
+                   np.concatenate([np.linspace(1, -1, N // 2),
+                                   np.linspace(-1, 1, N - N // 2)])])
+    for (ile, ilc, etacl, etael, vaf, var, ikf, ikr) in itertools.product(
+            (0.0, 50e-9), (0.0, 100e-9), (1.0, 1.2), (1.0, 1.1),
+            (math.inf, 10.0), (math.inf, 50.0),
+            (math.inf, 50e-3), (math.inf, 500e-3)):
+        model = _bjt_fixture(typ, isc=ISC, ise=ISE, etac=ETAC, etae=ETAE,
+                             bf=BF, br=BR, ile=ile, ilc=ilc, etacl=etacl,
+                             etael=etael, vaf=vaf, var=var, ikf=ikf,
+                             ikr=ikr)
+        out = A.run(model, u)
+        if typ == "pnp":
+            out = -out
+        for n in range(N):
+            ve, vc, ie, ic = out[:, n]
+            i_f = BF / (1 + BF) * ISE * (math.exp(ve / (ETAE * 25e-3)) - 1)
+            i_r = BR / (1 + BR) * ISC * (math.exp(vc / (ETAC * 25e-3)) - 1)
+            icc = (2 * (1 - ve / var - vc / vaf)) \
+                / (1 + math.sqrt(1 + 4 * (i_f / ikf + i_r / ikr))) \
+                * (i_f - i_r)
+            ibe = i_f / BF + ile * (math.exp(ve / (etael * 25e-3)) - 1)
+            ibc = i_r / BR + ilc * (math.exp(vc / (etacl * 25e-3)) - 1)
+            assert ie == pytest.approx(icc + ibe, abs=1e-10), \
+                (ile, ilc, etacl, etael, vaf, var, ikf, ikr, n)
+            assert ic == pytest.approx(-icc + ibc, abs=1e-10), \
+                (ile, ilc, etacl, etael, vaf, var, ikf, ikr, n)

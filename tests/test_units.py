@@ -77,3 +77,19 @@ def test_units_run_end_to_end():
     model = A.DiscreteModel(circ, 1)
     y = A.run(model, np.zeros((0, 1)))
     assert y[0, 0] == pytest.approx(0.005)
+
+
+def test_mosfet_polynomial_units():
+    """Degree-k coefficient of vt carries V^(1-k), of alpha A/V^(2+k)
+    (ref ext/UnitfulExt.jl:89-110)."""
+    # correct per-degree units round-trip to the plain-number element
+    e1 = A.mosfet("n", vt=(0.7 * U.V, 2.0 * U.one, 0.5 / U.V),
+                  alpha=(20e-6 * U.A_per_V2, 1e-6 * U.A_per_V2 / U.V))
+    e2 = A.mosfet("n", vt=(0.7, 2.0, 0.5), alpha=(20e-6, 1e-6))
+    assert e1 == e2
+    # the degree-0 unit on a degree-1 coefficient must be rejected
+    with pytest.raises(UnitError):
+        A.mosfet("n", vt=(0.7 * U.V, 2.0 * U.V))
+    with pytest.raises(UnitError):
+        A.mosfet("n", vt=0.7, alpha=(20e-6 * U.A_per_V2,
+                                     1e-6 * U.A_per_V2))
