@@ -34,12 +34,29 @@ import numpy as np
 from .model import DiscreteModel
 from .ops.newton import WarmStart, make_subsystem_solver
 
-__all__ = ["CompiledModel", "compile_model", "RunInfo"]
+__all__ = ["CompiledModel", "compile_model", "BatchCompiledModel",
+           "compile_models", "RunInfo"]
 
 
 class RunInfo(NamedTuple):
+    """Per-sample solver diagnostics (the reference's needediterations and
+    warn-path flags, solvers.jl:205 / ACME.jl:688-694)."""
+
     converged: jnp.ndarray   # (T, L) bool
-    iters: jnp.ndarray       # (T, L) int32 total Newton iterations
+    iters: jnp.ndarray       # (T, L, nsub) int32 Newton iterations per
+    #                          subsystem (sum over axis -1 for totals)
+
+    def iter_histogram(self, bins=(1, 2, 3, 5, 8, 13, 21, 34, 55)):
+        """Per-subsystem histogram of Newton iteration counts: returns
+        (edges, counts (nsub, len(edges)+1)) over all samples and lanes."""
+        import numpy as np
+        it = np.asarray(self.iters).reshape(-1, self.iters.shape[-1])
+        edges = np.asarray(bins)
+        counts = np.stack([
+            np.bincount(np.digitize(it[:, k], edges),
+                        minlength=len(edges) + 1)
+            for k in range(it.shape[1])])
+        return edges, counts
 
 
 class CompiledModel:
@@ -148,7 +165,7 @@ class CompiledModel:
             z_acc = jnp.zeros((L, nn_total), x.dtype)
             warms_out = []
             conv = jnp.ones((L,), bool)
-            iters = jnp.zeros((L,), jnp.int32)
+            iters_k = []
             for k, sub in enumerate(subs):
                 p = x @ sub["dq"].T + u_t @ sub["eq"].T + z_acc @ sub["fqprev"].T
                 result = solvers[k](p, carry["warms"][k])
@@ -156,7 +173,9 @@ class CompiledModel:
                     z_acc, result.z, (0, sub["off"]))
                 warms_out.append(result.warm)
                 conv = conv & result.converged
-                iters = iters + result.iters
+                iters_k.append(result.iters)
+            iters = (jnp.stack(iters_k, axis=-1) if iters_k
+                     else jnp.zeros((L, 0), jnp.int32))
             y = x @ dy.T + u_t @ ey.T + z_acc @ fy.T + y0
             x_new = x @ a.T + u_t @ b.T + z_acc @ c.T + x0
             return {"x": x_new, "warms": tuple(warms_out)}, (y, conv, iters)
@@ -254,3 +273,157 @@ class CompiledModel:
 def compile_model(model: DiscreteModel, **kw) -> CompiledModel:
     """Freeze a DiscreteModel into the TPU runtime."""
     return CompiledModel(model, **kw)
+
+
+class BatchCompiledModel:
+    """Per-lane model matrices: every lane carries its own A/B/C/dq/...
+    (the natural completion of the lane axis -- lanes sweep *component
+    values*, each lane a structurally identical model compiled from a
+    different netlist parameterization, not just pot inputs).
+
+    All models must share topology: identical dimensions and per-subsystem
+    shapes (build them from the same circuit with different element
+    values).  The nonlinearity closures of ``models[0]`` are used for every
+    lane, so nonlinear device parameters (diode is/eta, BJT params, ...)
+    must be identical across models -- sweep those via the matrices they
+    enter (sources, linear elements, pots) or via pot inputs.
+    """
+
+    def __init__(self, models, *, dtype=None, tol=None, newton_maxiter=500,
+                 homotopy=True):
+        from .ops.newton import make_subsystem_solver_mats
+        if not models:
+            raise ValueError("need at least one model")
+        m0 = models[0]
+        for m in models[1:]:
+            if (m.nx, m.nu, m.ny, m.nsubsystems) != \
+                    (m0.nx, m0.nu, m0.ny, m0.nsubsystems) or any(
+                    (m.nn(k), m.np(k)) != (m0.nn(k), m0.np(k))
+                    for k in range(m0.nsubsystems)):
+                raise ValueError(
+                    "per-lane models must share dimensions/decomposition")
+        if dtype is None:
+            dtype = jnp.float64 if jax.config.jax_enable_x64 \
+                else jnp.float32
+        self.dtype = dtype
+        if tol is None:
+            tol = 1e-10 if dtype == jnp.float64 else 5e-4
+        self.L = len(models)
+        self.nx, self.nu, self.ny = m0.nx, m0.nu, m0.ny
+        self.nn_total = m0.nn()
+        self.nsub = m0.nsubsystems
+
+        def S(get):
+            return jnp.asarray(np.stack([np.asarray(get(m), float)
+                                         for m in models]), dtype)
+
+        self.a, self.b, self.c = S(lambda m: m.a), S(lambda m: m.b), \
+            S(lambda m: m.c)
+        self.x0 = S(lambda m: m.x0)
+        self.dy, self.ey, self.fy = S(lambda m: m.dy), S(lambda m: m.ey), \
+            S(lambda m: m.fy)
+        self.y0 = S(lambda m: m.y0)
+        self.subs = []
+        self._solvers = []
+        off = 0
+        for k in range(self.nsub):
+            sub = {
+                "dq": S(lambda m: m.dqs[k]), "eq": S(lambda m: m.eqs[k]),
+                "fqprev": S(lambda m: m.fqprevs[k]),
+                "fq": S(lambda m: m.fqs[k]),
+                "pexp": S(lambda m: m.pexps[k]),
+                "q0": S(lambda m: m.q0s[k]),
+                "off": off,
+            }
+            off += m0.nn(k)
+            self.subs.append(sub)
+            solve = make_subsystem_solver_mats(
+                m0.nl_funcs[k], m0.nn(k), dtype=dtype, tol=float(tol),
+                maxiter=newton_maxiter, homotopy=homotopy)
+            self._solvers.append(jax.vmap(solve))
+
+        # per-lane initial warm starts (origin p=0, z=that model's init z)
+        warms = []
+        for k in range(self.nsub):
+            ps, zs, ds = [], [], []
+            for m in models:
+                p0 = np.zeros(m.np(k))
+                z0 = np.asarray(m.init_zs[k], float)
+                q = np.asarray(m.q0s[k]) + np.asarray(m.fqs[k]) @ z0
+                res, Jq = m.nl_funcs[k](np, q)
+                J = Jq @ np.asarray(m.fqs[k])
+                Jp = Jq @ np.asarray(m.pexps[k])
+                try:
+                    dzdp = -np.linalg.solve(J, Jp)
+                except np.linalg.LinAlgError:
+                    dzdp = np.zeros_like(Jp)
+                ps.append(p0)
+                zs.append(z0)
+                ds.append(dzdp)
+            warms.append(WarmStart(
+                p=jnp.asarray(np.stack(ps), dtype),
+                z=jnp.asarray(np.stack(zs), dtype),
+                dzdp=jnp.asarray(np.stack(ds), dtype)))
+        self._init_warm = tuple(warms)
+
+        subs = self.subs
+        solvers = self._solvers
+        a, b, c, x0 = self.a, self.b, self.c, self.x0
+        dy, ey, fy, y0 = self.dy, self.ey, self.fy, self.y0
+        nn_total = self.nn_total
+
+        def mv(M, v):
+            # batched per-lane matvec: (L, m, n) x (L, n) -> (L, m)
+            return jnp.einsum("lmn,ln->lm", M, v)
+
+        def step(carry, u_t):
+            x = carry["x"]
+            L = x.shape[0]
+            z_acc = jnp.zeros((L, nn_total), x.dtype)
+            warms_out = []
+            conv = jnp.ones((L,), bool)
+            iters_k = []
+            for k, sub in enumerate(subs):
+                p = mv(sub["dq"], x) + mv(sub["eq"], u_t) \
+                    + mv(sub["fqprev"], z_acc)
+                result = solvers[k](p, carry["warms"][k], sub["fq"],
+                                    sub["pexp"], sub["q0"])
+                z_acc = jax.lax.dynamic_update_slice(
+                    z_acc, result.z, (0, sub["off"]))
+                warms_out.append(result.warm)
+                conv = conv & result.converged
+                iters_k.append(result.iters)
+            iters = (jnp.stack(iters_k, axis=-1) if iters_k
+                     else jnp.zeros((L, 0), jnp.int32))
+            y = mv(dy, x) + mv(ey, u_t) + mv(fy, z_acc) + y0
+            x_new = mv(a, x) + mv(b, u_t) + mv(c, z_acc) + x0
+            return {"x": x_new, "warms": tuple(warms_out)}, (y, conv, iters)
+
+        self._scan = jax.jit(lambda carry, u_tm: jax.lax.scan(
+            step, carry, u_tm))
+
+    def initial_state(self):
+        return {"x": jnp.zeros((self.L, self.nx), self.dtype),
+                "warms": self._init_warm}
+
+    def run(self, u, state=None):
+        """``u``: (nu, T) shared across lanes or (L, nu, T) per lane.
+        Returns (y (L, ny, T), state, RunInfo)."""
+        u = jnp.asarray(u, self.dtype)
+        if u.ndim == 2:
+            u = jnp.broadcast_to(u[None], (self.L,) + u.shape)
+        if u.shape[0] != self.L or u.shape[1] != self.nu:
+            raise ValueError(f"input shape {u.shape} does not match "
+                             f"(L={self.L}, nu={self.nu}, T)")
+        if state is None:
+            state = self.initial_state()
+        u_tm = jnp.transpose(u, (2, 0, 1))
+        state, (y_tm, conv, iters) = self._scan(state, u_tm)
+        y = jnp.transpose(y_tm, (1, 2, 0))
+        return y, state, RunInfo(converged=conv, iters=iters)
+
+
+def compile_models(models, **kw) -> BatchCompiledModel:
+    """Freeze a batch of same-topology DiscreteModels into one runtime with
+    per-lane model matrices (component-value sweeps)."""
+    return BatchCompiledModel(models, **kw)

@@ -24,7 +24,8 @@ import jax.numpy as jnp
 
 from .linsolve import solve_dense
 
-__all__ = ["WarmStart", "SolveResult", "make_subsystem_solver"]
+__all__ = ["WarmStart", "SolveResult", "make_subsystem_solver",
+           "make_subsystem_solver_mats"]
 
 
 class WarmStart(NamedTuple):
@@ -74,8 +75,36 @@ def make_subsystem_solver(nl, fq, pexp, q0, *, tol=1e-10, maxiter=500,
     fq = jnp.asarray(fq)
     pexp = jnp.asarray(pexp)
     q0 = jnp.asarray(q0)
-    nn = fq.shape[1]
-    dtype = fq.dtype
+    base = make_subsystem_solver_mats(
+        nl, fq.shape[1], dtype=fq.dtype, tol=tol, maxiter=maxiter,
+        homotopy=homotopy, max_homotopy_steps=max_homotopy_steps)
+
+    def solve(p, warm: WarmStart) -> SolveResult:
+        return base(p, warm, fq, pexp, q0)
+
+    return solve
+
+
+def make_subsystem_solver_mats(nl, nn, *, dtype=None, tol=1e-10,
+                               maxiter=500, homotopy=True,
+                               max_homotopy_steps=4096):
+    """Like :func:`make_subsystem_solver` but the model matrices are runtime
+    arguments: ``solve(p, warm, fq, pexp, q0)``.  vmapping over them gives
+    per-lane model matrices -- lanes sweeping *component values*, not just
+    pot inputs (each lane is a structurally identical model compiled from a
+    different netlist parameterization)."""
+    if dtype is None:
+        dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+    def solve(p, warm, fq, pexp, q0):
+        return _solve_impl(nl, nn, dtype, tol, maxiter, homotopy,
+                           max_homotopy_steps, p, warm, fq, pexp, q0)
+
+    return solve
+
+
+def _solve_impl(nl, nn, dtype, tol, maxiter, homotopy, max_homotopy_steps,
+                p_arg, warm_arg, fq, pexp, q0):
 
     def eval_rj(pfull, z):
         q = pfull + fq @ z
@@ -121,7 +150,7 @@ def make_subsystem_solver(nl, fq, pexp, q0, *, tol=1e-10, maxiter=500,
         return -d, ok
 
     def solve(p, warm: WarmStart) -> SolveResult:
-        z0 = warm.z + warm.dzdp @ (p - warm.p)
+        z0 = warm.z + warm.dzdp @ (p - warm.p)  # noqa: E306
         pfull = q0 + pexp @ p
         z, conv, iters = newton(pfull, z0)
 
@@ -177,4 +206,4 @@ def make_subsystem_solver(nl, fq, pexp, q0, *, tol=1e-10, maxiter=500,
             lambda n, f: jnp.where(upd, n, f), new_warm, fallback_warm)
         return SolveResult(z=z, converged=conv, warm=warm_out, iters=iters)
 
-    return solve
+    return solve(p_arg, warm_arg)

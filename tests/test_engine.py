@@ -122,3 +122,33 @@ def test_linear_model_runs(sine):
     y, _, info = cm.run(sine)
     yh = A.run(M.sallenkey_model(), sine)
     np.testing.assert_allclose(np.asarray(y), yh, atol=1e-12)
+
+
+def test_per_lane_model_matrices():
+    """Component-value sweep via per-lane matrices: each lane is a
+    diodeclipper compiled with a different series resistor; the batch
+    runtime must match per-lane host runs."""
+    from acme_tpu.engine import compile_models
+    from acme_tpu.models import diodeclipper
+    rs = [820.0, 1000.0, 1500.0, 4700.0]
+
+    def build(r):
+        circ = diodeclipper()
+        circ.delete("r1")
+        circ.add("r1", A.resistor(r))
+        circ.connect(("r1", 1), ("j_in", "+"))
+        circ.connect(("r1", 2), ("d1", "+"))
+        return A.DiscreteModel(circ, 1 / 44100)
+
+    models = [build(r) for r in rs]
+    T = 400
+    u = 2.0 * np.sin(2 * np.pi * 1000 / 44100 * np.arange(T))[None, :]
+    bm = compile_models(models)
+    y, state, info = bm.run(u)
+    assert y.shape == (len(rs), 1, T)
+    assert bool(np.all(np.asarray(info.converged)))
+    for i, r in enumerate(rs):
+        yh = A.run(build(r), u)
+        assert np.max(np.abs(np.asarray(y[i]) - yh)) < 2e-7
+    # distinct resistors must give distinct outputs
+    assert np.max(np.abs(np.asarray(y[0]) - np.asarray(y[-1]))) > 1e-3
