@@ -45,6 +45,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from . import dfmath as dfm
+
 __all__ = ["FusedRunner", "FusedInfo"]
 
 LANE = 128
@@ -242,6 +244,7 @@ class FusedRunner:
                  compensated: bool = True, df_state: bool = True,
                  rel_tol: float = None, rel_gate: float = None,
                  rel_tol_polish: float = None, polish_iters: int = 10,
+                 df_polish: bool = True,
                  pivot: bool = True, group_lanes: int = 1024,
                  fast_iters: int = 0, stall_strikes: int = 2):
         self.model = model
@@ -283,6 +286,12 @@ class FusedRunner:
         # 3e-8 -> -103 dB measured on the tone=0.05 superover corner.
         self.rel_tol_polish = rel_tol_polish
         self.polish_iters = max(1, int(polish_iters))
+        # evaluate the polish residual with full double-float element
+        # physics (ops/dfmath.py): drops the evaluation noise floor from
+        # ~1e-7 to ~1e-14 of the term scale, which is what bounds the z
+        # error at cond(J) spikes (pot end-stops, clipping corners).
+        # Requires the compensated q pipeline.
+        self.df_polish = bool(df_polish) and self.compensated
         self.lane_idx = tuple(int(i) for i in lane_input_idx)
         # lane-scaled inputs: time-varying rows multiplied by a per-lane
         # constant (e.g. one audio stream fanned out at 4096 input levels)
@@ -668,7 +677,7 @@ class FusedRunner:
                         jnp.asarray(zz, jnp.float32), z_all[o].shape)
                         for zz in z0])
 
-                    def eval_at(z, cmode, stats=True):
+                    def eval_at(z, cmode, stats=True, pf=None):
                         """Residual/Jacobian at z.  ``cmode`` selects the
                         compensated (double-float q, first-order residual
                         correction) evaluation; the cheap plain-f32 form
@@ -677,8 +686,18 @@ class FusedRunner:
                         refinement: intermediate directions only need a few
                         digits, the final step's residual sets accuracy).
                         ``stats=False`` skips the resmax/term-scale
-                        reductions (the unguarded fast path needs neither)."""
-                        if cmode:
+                        reductions (the unguarded fast path needs neither).
+                        ``pf`` overrides the sample's pfull (plain mode
+                        only) -- the homotopy continuation evaluates at
+                        mixed p points along the path."""
+                        if pf is not None:
+                            q = []
+                            q_lo = None
+                            for ci in range(nq_k):
+                                acc = dotv(sub["fq"][ci], z)
+                                q.append(pf[ci] if acc is None
+                                         else acc + pf[ci])
+                        elif cmode:
                             z_sp = [_split_rt(zz) for zz in z]
                             q = []
                             q_lo = []
@@ -704,8 +723,26 @@ class FusedRunner:
                         qv = jnp.stack([jnp.broadcast_to(
                             jnp.asarray(qq, jnp.float32), z[0].shape)
                             for qq in q])
-                        res, Jq = sub["nl"](jnp, qv)
-                        if cmode:
+                        if cmode == "df":
+                            # full double-float physics: the element
+                            # functions run unchanged on (hi, lo) pairs,
+                            # dropping the residual evaluation floor from
+                            # ~1e-7 to ~1e-14 of the internal term scale
+                            # (see ops/dfmath.py) -- what bounds the z
+                            # error at cond(J) spikes.  Collapsing the df
+                            # outputs back to f32 keeps the tiny-residual
+                            # accuracy: the rounding is relative to each
+                            # row's own (small) value, not to the term
+                            # scale.
+                            q_lov = jnp.stack([jnp.broadcast_to(
+                                jnp.asarray(ql, jnp.float32), z[0].shape)
+                                for ql in q_lo])
+                            res_df, Jq_df = sub["nl"](dfm, dfm.DF(qv, q_lov))
+                            res = res_df.hi + res_df.lo
+                            Jq = Jq_df.hi + Jq_df.lo
+                        else:
+                            res, Jq = sub["nl"](jnp, qv)
+                        if cmode and cmode != "df":
                             # first-order correction: res(q_hi + q_lo)
                             # ~= res(q_hi) + Jq q_lo
                             corr = []
@@ -771,17 +808,25 @@ class FusedRunner:
                         else 4.0e-6
                     rel_gate_f = self.rel_gate if self.rel_gate is not None \
                         else (2.0e-6 if comp else 4.0e-6)
+                    df_pol = self.df_polish
                     rel_tol_pol = self.rel_tol_polish \
                         if self.rel_tol_polish is not None \
-                        else (3.0e-8 if comp else 3.0e-7)
+                        else (3.0e-9 if df_pol
+                              else (3.0e-8 if comp else 3.0e-7))
                     P_pol = self.polish_iters if comp else 1
+                    pol_mode = "df" if df_pol else comp
 
                     def make_newton(piv):
                         def newton_iter(zs, prev_resmax, strikes):
                             z = [zs[i1] for i1 in range(nn_k)]
                             res, J, _, resmax, scale = eval_at(z, False)
-                            tol_eff = jnp.maximum(ltol_v, rel_tol_l * scale)
-                            gate_eff = jnp.maximum(lgate_v, rel_gate_l * scale)
+                            # relative tolerances capped at 1e4x their
+                            # static anchors (see polish_eval: an uncapped
+                            # relative gate self-certifies diverged lanes)
+                            tol_eff = jnp.clip(rel_tol_l * scale,
+                                               ltol_v, 1e4 * ltol_v)
+                            gate_eff = jnp.clip(rel_gate_l * scale,
+                                                lgate_v, 1e4 * lgate_v)
                             dz = _solve_rows(
                                 J, [[res[ai] for ai in range(nn_k)]],
                                 refine=0, pivot=piv)[0]
@@ -871,55 +916,132 @@ class FusedRunner:
 
                     run_newton = make_newton(pivot)
 
-                    # operating-point restart: lanes still above their
-                    # (loop) gate restart from z~ = 0 -- the in-kernel
-                    # stand-in for the reference's homotopy restart
-                    # (solvers.jl:268-296).  Always pivoted: it handles
-                    # exactly the lanes where the cheap main-path solve may
-                    # have gone bad.
-                    run_newton_piv = make_newton(True) if not pivot \
-                        else run_newton
+                    def homotopy_rescue(args):
+                        """Bisection homotopy continuation for lanes that
+                        failed the gated loop (ref HomotopySolver,
+                        solvers.jl:268-296) -- masked, fixed-budget form.
 
-                    def op_restart(args):
-                        # ONLY lanes that failed their acceptance gate may
-                        # retry from the operating point, and the retry is
-                        # taken only if it actually improves the residual.
-                        # Healthy lanes must keep their path-following
-                        # solution: replacing it with a marginally-better
-                        # restart solution hops between solution branches of
-                        # multi-root subsystems and corrupts the waveform.
-                        # Plateau-exited lanes (solve-error floor) skip the
-                        # restart: z=0 replays the same plateau; the
-                        # compensated polish is what finishes them.
+                        Path-follows from the last extrapolation origin
+                        (wp, zw), where the solution is known: solve at
+                        p(a) = wp + a (p - wp), starting at a = 1; on
+                        failure bisect a toward the last good point, on
+                        success jump back to a = 1.  Unlike the previous
+                        restart from the operating point (z = 0),
+                        continuation cannot hop to a different solution
+                        branch: each solve starts in the basin of the
+                        path-continuous root -- restarts were measured to
+                        silently land deep-clip lanes on the wrong branch
+                        (parity +1.8 dB with zero fails)."""
                         zs0, r0, g0, it0, pl0 = args
                         okk = (r0 < g0) | (pl0 > 0.5)
-                        zs_r = jnp.where(okk[None], zs0, jnp.zeros_like(zs0))
-                        zs1, r1, g1, it1, _ = run_newton_piv(zs_r)
-                        take = jnp.logical_not(okk) & (r1 < r0)
-                        return (jnp.where(take[None], zs1, zs0),
-                                jnp.where(take, r1, r0),
-                                jnp.where(take, g1, g0),
-                                it0 + jnp.where(okk, 0.0, it1), pl0)
+                        need = jnp.logical_not(okk) \
+                            | jnp.logical_not(jnp.isfinite(r0))
+                        sh0 = r0.shape
+                        zg0 = jnp.stack([zw_s[o + i1]
+                                         for i1 in range(nn_k)])
+                        K2 = 16        # Newton budget per continuation point
+                        TRIPS = 6 * K2  # total budget (~6 path points)
+
+                        def h_cond(st):
+                            _, _, _, _, _, trips, solved = st
+                            live = need & (solved < 0.5)
+                            return jnp.logical_and(
+                                trips < TRIPS, jnp.any(live))
+
+                        def h_body(st):
+                            (z_h, z_good, a_good, a_try, k_in, trips,
+                             solved) = st
+                            live = need & (solved < 0.5)
+                            pmix = [wp_s[po + i2] + a_try
+                                    * (p[i2] - wp_s[po + i2])
+                                    for i2 in range(np_k)]
+                            pf = []
+                            for ci in range(nq_k):
+                                acc = dotv(sub["pexp"][ci], pmix)
+                                base = _f(sub["q0"][ci])
+                                pf.append(base if acc is None
+                                          else acc + base)
+                            zl = [z_h[i1] for i1 in range(nn_k)]
+                            res, J, _, resmax, scale = eval_at(
+                                zl, False, pf=pf)
+                            gate_eff = jnp.clip(rel_gate_l * scale,
+                                                lgate_v, 1e4 * lgate_v)
+                            ok = resmax < gate_eff
+                            dz = _solve_rows(
+                                J, [[res[ai] for ai in range(nn_k)]],
+                                refine=0, pivot=True)[0]
+                            bad = jnp.logical_not(jnp.isfinite(resmax))
+                            for ai in range(nn_k):
+                                bad = bad | jnp.logical_not(
+                                    jnp.isfinite(dz[ai]))
+                            move = live & jnp.logical_not(ok | bad)
+                            z_new = jnp.stack([
+                                jnp.where(move, z_h[ai] - jnp.clip(
+                                    dz[ai], -zclip[ai], zclip[ai]),
+                                    z_h[ai])
+                                for ai in range(nn_k)])
+                            commit = live & ok
+                            z_good = jnp.where(commit[None], z_h, z_good)
+                            a_good = jnp.where(commit, a_try, a_good)
+                            solved = jnp.maximum(
+                                solved, (commit & (a_try >= 1.0))
+                                .astype(jnp.float32))
+                            # on success jump back to the full step; on an
+                            # exhausted budget bisect toward the last good
+                            # point and restart from its solution
+                            k_next = jnp.where(commit, 0.0, k_in + 1.0)
+                            exh = live & (k_next >= K2) \
+                                & jnp.logical_not(ok)
+                            a_next = jnp.where(
+                                commit, 1.0,
+                                jnp.where(exh, 0.5 * (a_good + a_try),
+                                          a_try))
+                            z_new = jnp.where(exh[None], z_good, z_new)
+                            k_next = jnp.where(exh, 0.0, k_next)
+                            return (z_new, z_good, a_good, a_next, k_next,
+                                    trips + 1, solved)
+
+                        zero0 = jnp.zeros(sh0, jnp.float32)
+                        st0 = (zs0, zg0, zero0, jnp.ones(sh0, jnp.float32),
+                               zero0, jnp.int32(0), zero0)
+                        (z_h, _, _, _, _, trips, solved) = \
+                            jax.lax.while_loop(h_cond, h_body, st0)
+                        take = need & (solved > 0.5)
+                        # the continuation result converged at a = 1, so
+                        # report a residual just under the gate; the polish
+                        # re-evaluates and sets the final acceptance anyway
+                        return (jnp.where(take[None], z_h, zs0),
+                                jnp.where(take, 0.5 * g0, r0),
+                                g0,
+                                it0 + jnp.where(
+                                    need, trips.astype(jnp.float32), 0.0),
+                                pl0)
 
                     def full_solve(zs_start):
-                        """The robust path: gated Newton while-loop, then an
-                        operating-point restart for lanes that still fail."""
+                        """The robust path: gated Newton while-loop, then
+                        homotopy continuation for lanes that still fail."""
                         st = run_newton(zs_start)
                         return jax.lax.cond(
                             jnp.all((st[1] < st[2]) | (st[4] > 0.5)),
-                            lambda a: a, op_restart, st)
+                            lambda a: a, homotopy_rescue, st)
 
                     def polish_eval(zs):
                         """One compensated evaluation + shared elimination
                         X = J \\ [res | Jp] at zs."""
                         z = [zs[i1] for i1 in range(nn_k)]
-                        res_c, J, Jq, resmax_c, scale_c = eval_at(z, comp)
-                        lgate_eff = jnp.maximum(lgate_v,
-                                                rel_gate_l * scale_c)
-                        gate_eff_f = jnp.maximum(gate_v,
-                                                 rel_gate_f * scale_c)
-                        tol_pol = jnp.maximum(ptol_v,
-                                              rel_tol_pol * scale_c)
+                        res_c, J, Jq, resmax_c, scale_c = eval_at(z, pol_mode)
+                        # relative gates track the live term scale, but
+                        # capped at 1e4x their static (operating-point)
+                        # anchors: a diverged-but-finite z inflates `scale`
+                        # arbitrarily, and an uncapped relative gate then
+                        # self-certifies the garbage (measured: one lane's
+                        # z grew to ~1e17 and kept "converging")
+                        lgate_eff = jnp.clip(rel_gate_l * scale_c,
+                                             lgate_v, 1e4 * lgate_v)
+                        gate_eff_f = jnp.clip(rel_gate_f * scale_c,
+                                              gate_v, 1e4 * gate_v)
+                        tol_pol = jnp.clip(rel_tol_pol * scale_c,
+                                           ptol_v, 1e4 * ptol_v)
                         rhs = [[res_c[ai] for ai in range(nn_k)]]
                         if extrap and np_k:
                             for bi in range(np_k):
@@ -976,33 +1098,55 @@ class FusedRunner:
                             cols0 = jnp.zeros((1,) + sh, jnp.float32)
 
                         def p_cond(st):
-                            _, _, rm, _, _, _, tp, _, k = st
+                            _, _, rm, _, _, _, tp, pf, _, k = st
                             return jnp.logical_and(
                                 k < P_pol,
-                                jnp.logical_not(jnp.all(rm < tp)))
+                                jnp.logical_not(
+                                    jnp.all((rm < tp) | (pf > 0.5))))
 
                         def p_body(st):
-                            zs_c, _, rm_prev, rm1, _, _, _, pstall, k = st
+                            (zs_c, _, rm_prev, rm1, _, _, _, pfrz, pstall,
+                             k) = st
                             (dz, cols, resmax_c, lgate_eff, gate_eff_f,
                              tol_pol, fin) = polish_eval(zs_c)
-                            act = fin & ((k == 0) | (resmax_c >= tol_pol))
-                            # polish floor: an active lane whose compensated
-                            # residual stopped improving on full unclipped
-                            # steps is at the f32-complete answer -- there
-                            # is nothing below it in this precision, so the
-                            # caller accepts it as converged (hard
-                            # transients push the residual floor above any
-                            # a-priori gate while the solution itself stays
-                            # at reference parity)
+                            # past the mandatory first step, a lane keeps
+                            # stepping only while genuinely contracting
+                            # (Newton in its basin contracts far more than
+                            # 30% per step; so does a clipped crawl toward
+                            # a junction basin, whose residual falls by
+                            # e^(clip/vT) per step).  A step that barely
+                            # improves the residual is walking z along the
+                            # near-null direction of an ill-conditioned J
+                            # -- at a cond spike such steps (often at the
+                            # full clip) change z materially while the
+                            # residual hardly moves, and repeating them
+                            # whenever group-mates extend the polish loop
+                            # walked marginal lanes into a self-sustaining
+                            # grind (measured at 4096 mixed levels; the
+                            # same lane is healthy run alone).
+                            not_contracting = fin \
+                                & (resmax_c >= 0.7 * rm_prev)
+                            pfrz = jnp.maximum(
+                                pfrz, not_contracting.astype(jnp.float32))
+                            # floor-stall acceptance: an unclipped step
+                            # that failed to contract means the lane is at
+                            # its evaluation floor -- nothing below it
+                            # exists in this precision, so the caller
+                            # counts it converged.  Latched: the freeze
+                            # de-activates the lane immediately after, so
+                            # a last-state flag would never stick.
                             unclip = None
                             for ai in range(nn_k):
                                 u_i = jnp.abs(dz[ai]) < 0.9 * zclip[ai]
                                 unclip = u_i if unclip is None \
                                     else unclip & u_i
-                            stall_now = act & unclip \
-                                & (resmax_c >= 0.995 * rm_prev)
-                            pstall = jnp.where(
-                                act, stall_now.astype(jnp.float32), pstall)
+                            pstall = jnp.maximum(
+                                pstall, (not_contracting & unclip
+                                         & (resmax_c >= tol_pol))
+                                .astype(jnp.float32))
+                            act = fin & ((k == 0)
+                                         | ((resmax_c >= tol_pol)
+                                            & (pfrz < 0.5)))
                             zp = jnp.stack([
                                 jnp.where(act, zs_c[ai] - jnp.clip(
                                     dz[ai], -zclip[ai], zclip[ai]),
@@ -1010,15 +1154,16 @@ class FusedRunner:
                                 for ai in range(nn_k)])
                             rm1 = jnp.where(k == 0, resmax_c, rm1)
                             return (zp, cols, resmax_c, rm1, lgate_eff,
-                                    gate_eff_f, tol_pol, pstall, k + 1)
+                                    gate_eff_f, tol_pol, pfrz, pstall,
+                                    k + 1)
 
                         zero = jnp.zeros(sh, jnp.float32)
                         st = (zs, cols0, big, big,
                               jnp.broadcast_to(lgate_v, sh),
                               jnp.broadcast_to(gate_v, sh),
-                              jnp.broadcast_to(ptol_v, sh), zero,
+                              jnp.broadcast_to(ptol_v, sh), zero, zero,
                               jnp.int32(0))
-                        (zp, cols, rm, rm1, lg, gf, _, pstall, k) = \
+                        (zp, cols, rm, rm1, lg, gf, _, _, pstall, k) = \
                             jax.lax.while_loop(p_cond, p_body, st)
                         return zp, cols, rm, rm1, lg, gf, pstall, k
 
@@ -1089,30 +1234,44 @@ class FusedRunner:
                     any_fail = fail_k if any_fail is None else (any_fail | fail_k)
                     pmode_s[ksub] = pstall
                     iters_s[ksub] = iters_s[ksub] + itv_t.astype(jnp.int32)
+                    # plausibility: centered z of an audio circuit stays
+                    # within ~1e2; a failed lane carrying |z| beyond 1e4
+                    # (or non-finite) has diverged, and writing it into the
+                    # state poisons x and every later sample.  Substitute
+                    # the last good solution (zw) -- the sample stays
+                    # flagged and the next one retries from a sane state.
+                    implaus = jnp.logical_not(jnp.isfinite(resmax_c))
                     for i1 in range(nn_k):
-                        z_all[o + i1] = z[i1]
+                        implaus = implaus | jnp.logical_not(
+                            jnp.isfinite(z[i1])) | (jnp.abs(z[i1]) > 1e4)
+                    zsub = fail_k & implaus
+                    for i1 in range(nn_k):
+                        z_all[o + i1] = jnp.where(zsub, zw_s[o + i1], z[i1])
 
-                    # move the extrapolation origin on accepted-or-
-                    # floor-stalled, finite, non-singular solves
-                    # (solvers.jl:220-234).  The pstall case matters: on a
-                    # hard transient no sample certifies, and freezing the
-                    # origin makes the p-distance grow every sample -- the
-                    # extrapolated start drifts ever further and the lane
-                    # crawls its whole clipped-step budget each sample (a
-                    # measured 192-iters x 2000-samples pathology on the
-                    # varying-pot power-up ramp).  Updating on any finite z
-                    # (not only accepted ones) measured strictly better
-                    # than conv-gating on both the pots ramp (stale
-                    # origins re-derail the late ramp) and the hard-clip
-                    # sweep; z_all already follows the same iterate either
-                    # way, so the origin tracking it is consistent.
-                    ok = jnp.isfinite(resmax_c)
-                    for i1 in range(nn_k):
-                        ok = ok & jnp.isfinite(z[i1])
+                    # move the extrapolation origin (solvers.jl:220-234),
+                    # in two parts with different trust requirements:
+                    #
+                    # * the POSITION (zw, wp) follows any finite solution.
+                    #   Freezing it on non-accepted samples makes the
+                    #   p-distance grow every sample of a hard transient
+                    #   and the extrapolated start drifts ever further (a
+                    #   measured 192-iters x 2000-samples pathology on the
+                    #   varying-pot power-up ramp).  With wp fresh, dp is
+                    #   always small, so even a stale sensitivity gives a
+                    #   good start.
+                    # * the SENSITIVITY (dzdp = -J^-1 Jp) updates only on
+                    #   accepted-or-floor-stalled samples AND with every
+                    #   entry bounded: near a singular J the polish
+                    #   elimination can produce astronomically large but
+                    #   *finite* columns (measured 1.8e29), and one such
+                    #   install throws the next extrapolated start to
+                    #   infinity and NaN-poisons the lane permanently.
+                    ok = jnp.logical_not(implaus)
                     if extrap and np_k:
+                        okd = ok & conv
                         for bi in range(np_k):
                             for ai in range(nn_k):
-                                ok = ok & jnp.isfinite(cols[bi, ai])
+                                okd = okd & (jnp.abs(cols[bi, ai]) < 1e6)
                         for i1 in range(nn_k):
                             zw_s[o + i1] = jnp.where(ok, z[i1], zw_s[o + i1])
                         for i2 in range(np_k):
@@ -1121,7 +1280,7 @@ class FusedRunner:
                             for i2 in range(np_k):
                                 di = do + i1 * np_k + i2
                                 dzdp_s[di] = jnp.where(
-                                    ok, -cols[i2, i1], dzdp_s[di])
+                                    okd, -cols[i2, i1], dzdp_s[di])
                     else:
                         for i1 in range(nn_k):
                             zw_s[o + i1] = jnp.where(ok, z[i1], zw_s[o + i1])
@@ -1343,12 +1502,31 @@ class FusedRunner:
             z0 = np.zeros(1)
         dz0 = (np.concatenate([d.reshape(-1) for d in self.dzdp0])
                if self.dz_total else np.zeros(1))
+        # the extrapolation origin (wp, zw) must be a CONSISTENT pair: the
+        # homotopy continuation anchors its path at p = wp where z = zw is
+        # the known solution.  zw starts at the initial operating point
+        # (solution at u = 0, x = x_init), so wp must be the centered p at
+        # exactly that state -- wp = 0 (i.e. u = u_ss, pots at center,
+        # supply on) is a different point and breaks the anchor for every
+        # power-up failure.
+        wp0 = np.zeros(max(self.np_total, 1))
+        if self.np_total and not at_steady:
+            u_c = -self.u_ss  # u = 0 in centered coordinates
+            zc = z0 if self.nn_total else np.zeros(0)
+            off = 0
+            for kk in range(self.nsub):
+                npk = m.np(kk)
+                wp0[off:off + npk] = (
+                    self.dq_bs[kk] @ x0v[:self.nx]
+                    + np.asarray(m.eqs[kk], float) @ u_c
+                    + np.asarray(m.fqprevs[kk], float)
+                    @ zc[:self.nn_total])
+                off += npk
         return {"x": tile(x0v, max(self.nx, 1)),
                 "xlo": tile(xlo_v, max(self.nx, 1)),
                 "z": tile(z0, max(self.nn_total, 1)),
                 "zw": tile(z0, max(self.nn_total, 1)),
-                "wp": tile(np.zeros(max(self.np_total, 1)),
-                           max(self.np_total, 1)),
+                "wp": tile(wp0, max(self.np_total, 1)),
                 "dzdp": tile(dz0, max(self.dz_total, 1)),
                 "pmode": tile(np.zeros(max(self.nsub, 1)),
                               max(self.nsub, 1))}
