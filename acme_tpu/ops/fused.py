@@ -1017,13 +1017,71 @@ class FusedRunner:
                                     need, trips.astype(jnp.float32), 0.0),
                                 pl0)
 
+                    def df_rescue(args):
+                        """Last tier: double-float-residual Newton for
+                        lanes the plain-f32 loop and the homotopy both
+                        failed.  With df residuals (evaluation floor
+                        ~1e-14 of the term scale, ops/dfmath.py) and
+                        pivoted refined solves this is effectively the
+                        host's float64 solver; it exists for operating
+                        points that plain f32 cannot certify at all --
+                        one such lane otherwise stays failed for the rest
+                        of the run and drags its whole lane group through
+                        the full iteration budget every sample."""
+                        zs0, r0, g0, it0, pl0 = args
+                        need = jnp.logical_not((r0 < g0) | (pl0 > 0.5)) \
+                            | jnp.logical_not(jnp.isfinite(r0))
+                        K3 = 24
+
+                        def d_cond(s):
+                            _, rm, k = s
+                            return jnp.logical_and(
+                                k < K3, jnp.any(need & ~(rm < g0)))
+
+                        def d_body(s):
+                            zs_c, _, k = s
+                            zl = [zs_c[i1] for i1 in range(nn_k)]
+                            res, J, _, resmax, _ = eval_at(zl, pol_mode)
+                            ok = resmax < g0
+                            dz = _solve_rows(
+                                J, [[res[ai] for ai in range(nn_k)]],
+                                refine=refine, pivot=True)[0]
+                            bad = jnp.logical_not(jnp.isfinite(resmax))
+                            for ai in range(nn_k):
+                                bad = bad | jnp.logical_not(
+                                    jnp.isfinite(dz[ai]))
+                            move = need & jnp.logical_not(ok | bad)
+                            zs_n = jnp.stack([
+                                jnp.where(move, zs_c[ai] - jnp.clip(
+                                    dz[ai], -zclip[ai], zclip[ai]),
+                                    zs_c[ai])
+                                for ai in range(nn_k)])
+                            return (zs_n, resmax, k + 1)
+
+                        big0 = jnp.full(r0.shape, 3e38, jnp.float32)
+                        zs_f, r_f, k_f = jax.lax.while_loop(
+                            d_cond, d_body, (zs0, big0, jnp.int32(0)))
+                        take = need & ((r_f < r0)
+                                       | jnp.logical_not(
+                                           jnp.isfinite(r0)))
+                        return (jnp.where(take[None], zs_f, zs0),
+                                jnp.where(take, r_f, r0), g0,
+                                it0 + jnp.where(
+                                    need, k_f.astype(jnp.float32), 0.0),
+                                pl0)
+
+                    def _all_pass(st):
+                        return jnp.all((st[1] < st[2]) | (st[4] > 0.5))
+
                     def full_solve(zs_start):
                         """The robust path: gated Newton while-loop, then
-                        homotopy continuation for lanes that still fail."""
+                        homotopy continuation, then a double-float Newton
+                        rescue for lanes that still fail."""
                         st = run_newton(zs_start)
-                        return jax.lax.cond(
-                            jnp.all((st[1] < st[2]) | (st[4] > 0.5)),
-                            lambda a: a, homotopy_rescue, st)
+                        st = jax.lax.cond(_all_pass(st), lambda a: a,
+                                          homotopy_rescue, st)
+                        return jax.lax.cond(_all_pass(st), lambda a: a,
+                                            df_rescue, st)
 
                     def polish_eval(zs):
                         """One compensated evaluation + shared elimination
