@@ -245,7 +245,7 @@ class FusedRunner:
                  rel_tol: float = None, rel_gate: float = None,
                  rel_tol_polish: float = None, polish_iters: int = 10,
                  df_polish: bool = True,
-                 pivot: bool = True, group_lanes: int = 1024,
+                 pivot: bool = True, group_lanes: int = 2048,
                  fast_iters: int = 0, stall_strikes: int = 2):
         self.model = model
         self.K = int(newton_iters)
@@ -274,6 +274,9 @@ class FusedRunner:
         # <= 1024 lanes (8 sublanes x 128 lanes = one vector register per
         # scalar) all cost the same per vector op on the VPU.
         self.pivot = bool(pivot)
+        # Mosaic block shapes need the sublane dimension divisible by 8
+        # (or equal to the array's), so lane groups below 1024 lanes
+        # (Sg < 8) only lower when they cover ALL lanes of the run
         self.group_S = max(1, int(group_lanes) // LANE)
         self.rel_tol = rel_tol
         self.rel_gate = rel_gate
@@ -1350,12 +1353,18 @@ class FusedRunner:
                 # float32 term rounding into an audible error floor.
                 for oi in range(ny):
                     if dfs:
-                        hi, lo = dot_df(dy_sp[oi], x_v, x_lo,
-                                        init=(_f(y0_sp[oi][0]),
-                                              _f(y0_sp[oi][3])))
-                        hi, lo = dot_df(ey_sp[oi], u_full, init=(hi, lo))
-                        hi, lo = dot_df(fy_sp[oi], z_all, init=(hi, lo))
-                        val = hi + lo
+                        # readout in plain f32 plus the state's lo-part
+                        # contribution: unlike the state recurrence, the
+                        # output row does not integrate rounding over
+                        # time, so term-level EFTs (~15 flops/term) buy
+                        # nothing audible over plain dots (~2) once the
+                        # lo components are included
+                        acc = dotv(dy[oi], x_v)
+                        acc = dotv(dy[oi], x_lo, acc)
+                        acc = dotv(ey[oi], u_full, acc)
+                        acc = dotv(fy[oi], z_all, acc)
+                        val = _f(y0[oi]) if acc is None \
+                            else acc + _f(y0[oi])
                     else:
                         acc = dotv(dy[oi], x_v)
                         acc = dotv(ey[oi], u_full, acc)
@@ -1420,10 +1429,15 @@ class FusedRunner:
         return kernel, (nu_t, nu_l)
 
     def _group_S(self, S: int) -> int:
-        """Largest divisor of S not exceeding the configured group size."""
+        """Largest divisor of S not exceeding the configured group size.
+        Partial groups (Sg < S) must keep the sublane dimension divisible
+        by 8 (Mosaic block-shape constraint), i.e. groups of >= 1024
+        lanes; smaller requests fall back to min(8, S)."""
         Sg = min(self.group_S, S)
         while S % Sg:
             Sg -= 1
+        if Sg < 8 and Sg != S:
+            Sg = 8 if S % 8 == 0 else S
         return Sg
 
     def _compiled(self, S: int, T0: int):
