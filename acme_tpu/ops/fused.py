@@ -1119,7 +1119,7 @@ class FusedRunner:
                                     col.append(acc if acc is not None
                                                else jnp.zeros_like(z[0]))
                                 rhs.append(col)
-                        X = _solve_rows(J, rhs, refine=refine, pivot=pivot)
+                        X = _solve_rows(J, rhs, refine=refine, pivot=True)
                         dz = X[0]
                         fin = jnp.isfinite(resmax_c)
                         for ai in range(nn_k):
