@@ -1185,6 +1185,10 @@ class FusedRunner:
                             # walked marginal lanes into a self-sustaining
                             # grind (measured at 4096 mixed levels; the
                             # same lane is healthy run alone).
+                            # (0.95 was tried to let slow spike
+                            # convergence continue: it neither improved
+                            # the pot-corner ceiling nor kept the sweep
+                            # healthy -- marginal lanes ground again)
                             not_contracting = fin \
                                 & (resmax_c >= 0.7 * rm_prev)
                             pfrz = jnp.maximum(
