@@ -58,6 +58,11 @@ def _quick_two_sum(a, b):
 
 
 def _split(a):
+    # Operand bound: |a| must stay below 2^126/4097 (~8.3e34) -- the 4097*a
+    # scaling otherwise overflows to inf and the product EFTs NaN where
+    # plain f32 would survive.  Element physics respects this by clamping
+    # exp arguments at 80 (exp(80) ~ 5.5e34); new element code introducing
+    # larger magnitudes must rescale before entering df arithmetic.
     c = 4097.0 * a
     hi = c - (c - a)
     return hi, a - hi
@@ -372,8 +377,10 @@ def sqrt(x):
     if not isinstance(x, DF):
         return jnp.sqrt(x)
     s = jnp.sqrt(x.hi)
-    # one df Newton step: s + (x - s^2) / (2 s)
+    # one df Newton step: s + (x - s^2) / (2 s); guard the s == 0 input
+    # (exactly-zero x) where the correction would be 0/0 -> NaN
     p, e = _two_prod(s, s)
     r = ((x.hi - p) - e) + x.lo
-    corr = r / (2.0 * s)
+    corr = jnp.where(s > 0, r / jnp.where(s > 0, 2.0 * s, 1.0),
+                     jnp.zeros_like(s))
     return DF(*_renorm(s, corr))

@@ -163,6 +163,67 @@ def steadystate(model: DiscreteModel, u=None, return_z: bool = False):
     return xs
 
 
+def operating_point(model: DiscreteModel, u=None, resabstol=1e-9):
+    """Approximate steady operating point (x, z) for constant input ``u``,
+    for float32 operating-point centering (ops/fused.py).
+
+    Differs from :func:`steadystate` (the reference-faithful path,
+    ACME.jl:474-497) in robustness, not meaning -- centering is exact for
+    ANY center point, so this only needs to land *near* the trajectory:
+
+    * singular ``I - A`` (e.g. a capacitor across a stiff source leaves an
+      undriven, decoupled state: the chain-decomposed superover,
+      ref test/runtests.jl:763-764 @test_broken) is solved minimum-norm
+      via lstsq instead of raising;
+    * the per-subsystem homotopy runs at a loose ``resabstol`` and a
+      non-converged subsystem returns its best-effort z instead of
+      raising.
+    """
+    if u is None:
+        u = np.zeros(model.nu)
+    u = np.asarray(u, float)
+    IA = np.eye(model.nx) - np.asarray(model.a, float)
+
+    def ia_solve(rhs):
+        try:
+            return np.linalg.solve(IA, rhs)
+        except np.linalg.LinAlgError:
+            return np.linalg.lstsq(IA, rhs, rcond=None)[0]
+
+    steady_z = np.zeros(model.nn())
+    zoff = 0
+    for idx in range(model.nsubsystems):
+        nn_i = model.nn(idx)
+        zr = slice(zoff, zoff + nn_i)
+        dqIA = ia_solve(np.asarray(model.dqs[idx], float).T).T \
+            if model.nx > 0 else np.zeros((model.np(idx), 0))
+        steady_q0 = (model.q0s[idx]
+                     + model.pexps[idx] @ ((dqIA @ model.b + model.eqs[idx]) @ u
+                                           + (dqIA @ model.c + model.fqprevs[idx]) @ steady_z)
+                     + (model.pexps[idx] @ dqIA @ model.x0 if model.nx > 0 else 0.0))
+        fq_eff = (model.pexps[idx] @ dqIA @ model.c[:, zr] if model.nx > 0 else 0.0) \
+            + model.fqs[idx]
+        nl = model.nl_funcs[idx]
+
+        def func(res, J, scratch, z, fq_eff=fq_eff, nl=nl):
+            pfull = scratch[0]
+            q = pfull + fq_eff @ z
+            r, Jq = nl(np, q)
+            res[:] = r
+            scratch[1][:] = Jq
+            J[:] = Jq @ fq_eff
+
+        nleq = ParametricNonLinEq(func, nn=nn_i, np_=model.nq(idx))
+        solver = HomotopySolver(nleq, np.zeros(model.nq(idx)), np.zeros(nn_i),
+                                base=SimpleSolver)
+        solver.set_resabstol(float(resabstol))
+        steady_z[zr] = solver.solve(steady_q0)
+        zoff += nn_i
+    xs = ia_solve(model.b @ u + model.c @ steady_z + model.x0) \
+        if model.nx > 0 else np.zeros(0)
+    return xs, steady_z
+
+
 def steadystate_(model: DiscreteModel, u=None) -> np.ndarray:
     """steadystate! of the reference: also installs the state (ACME.jl:499-503)."""
     xs = steadystate(model, u)

@@ -48,7 +48,9 @@ def main():
                     help="lane axis: per-lane input level (L channels "
                          "through one pedal) or drive x tone pot grid "
                          "(pots-as-inputs model; harder for float32)")
-    ap.add_argument("--group-lanes", type=int, default=1024)
+    ap.add_argument("--group-lanes", type=int, default=2048,
+                    help="lanes per independent kernel grid group "
+                         "(default matches FusedRunner's)")
     ap.add_argument("--smoke", action="store_true",
                     help="tiny CPU-safe smoke run")
     ap.add_argument("--no-parity", action="store_true",
