@@ -120,8 +120,19 @@ def birdie(vol=None) -> Circuit:
     return c
 
 
-def superover(drive=None, tone=None, level=None, sym: bool = False) -> Circuit:
-    """'Der Super Over' overdrive (ref examples/superover.jl)."""
+def superover(drive=None, tone=None, level=None, sym: bool = False,
+              vb_source: bool = False) -> Circuit:
+    """'Der Super Over' overdrive (ref examples/superover.jl).
+
+    ``vb_source=True`` adds a stiff 4.5 V source on the bias rail vb --
+    the reference's "simplified" variant (test/runtests.jl:751-755).
+    Electrically this pins the bias network; structurally it breaks the
+    bias feedback loop so the nonlinearity decomposes into a chain of
+    three small subsystems, np=(2,1,2) / nn=(2,3,2) instead of one
+    np=5 / nn=7 block -- the fast configuration for the fused TPU kernel
+    (three tiny eliminations and per-stage physics instead of a 7x7
+    solve).  Note the reference's own steady-state check is broken for
+    this variant (runtests.jl:763-764 @test_broken)."""
     c = Circuit()
     # power supply
     c.add("j3", voltagesource(9))
@@ -244,6 +255,10 @@ def superover(drive=None, tone=None, level=None, sym: bool = False) -> Circuit:
     c.connect(("j2", "-"), "gnd")
     if sym:
         c.connect(("d3", "-"), ("d3", "+"))
+    if vb_source:
+        c.add("vbsrc", voltagesource(Fraction(9, 2)))
+        c.connect(("vbsrc", "+"), "vb")
+        c.connect(("vbsrc", "-"), "gnd")
     return c
 
 

@@ -270,9 +270,17 @@ class FusedRunner:
                  df_polish: bool = True,
                  pivot: bool = True, group_lanes: int = 2048,
                  fast_iters: int = 0, stall_strikes: int = 2,
-                 plateau_strikes: int = 6, compile_cache: bool = True):
+                 plateau_strikes: int = 6, compile_cache: bool = True,
+                 mesh=None, mesh_axis: str = "dp"):
         if compile_cache and not interpret:
             enable_compile_cache()
+        # multi-chip: lanes are embarrassingly parallel (SURVEY.md 2.3), so
+        # the fused kernel shards as a jax.shard_map of the pallas_call
+        # along the lane-group axis -- each device runs its own grid over
+        # its local lane groups; no collectives anywhere.  ``mesh`` is a
+        # 1-D jax.sharding.Mesh (e.g. acme_tpu.parallel.lane_mesh()).
+        self.mesh = mesh
+        self.mesh_axis = mesh_axis
         self.model = model
         self.K = int(newton_iters)
         # unguarded fast path: this many plain Newton steps per sample with
@@ -1502,9 +1510,16 @@ class FusedRunner:
         partitioned into groups of ``Sg`` sublane-blocks; the grid is
         (groups, time chunks) with time fastest, so each group runs its
         whole time axis with VMEM-resident state, exiting Newton as soon as
-        *its own* lanes are done."""
-        Sg = self._group_S(S)
-        G = S // Sg
+        *its own* lanes are done.  With a ``mesh``, the per-device kernel
+        covers S/ndev sublane blocks and is shard_map-ed over the lane
+        axis (pure SPMD, no collectives)."""
+        ndev = self.mesh.devices.size if self.mesh is not None else 1
+        if S % ndev:
+            raise ValueError(f"lane blocks ({S}) not divisible by the "
+                             f"mesh size ({ndev})")
+        S_loc = S // ndev
+        Sg = self._group_S(S_loc)
+        G = S_loc // Sg
         Tc = min(self.Tc, -(-T0 // 8) * 8)
         # VMEM budget (16 MB scoped): the state/warm-start buffers cost
         # (in + out + scratch) each; the y output block is double-buffered.
@@ -1575,16 +1590,16 @@ class FusedRunner:
             in_specs=in_specs,
             out_specs=out_specs,
             out_shape=[
-                jax.ShapeDtypeStruct((T, max(ny, 1), S, LANE), dt),
-                jax.ShapeDtypeStruct((nx, S, LANE), dt),
-                jax.ShapeDtypeStruct((nx, S, LANE), dt),
-                jax.ShapeDtypeStruct((nn_total, S, LANE), dt),
-                jax.ShapeDtypeStruct((nn_total, S, LANE), dt),
-                jax.ShapeDtypeStruct((np_total, S, LANE), dt),
-                jax.ShapeDtypeStruct((dz_total, S, LANE), dt),
-                jax.ShapeDtypeStruct((nsub_m, S, LANE), dt),
-                jax.ShapeDtypeStruct((S, LANE), jnp.int32),
-                jax.ShapeDtypeStruct((nsub_m, S, LANE), jnp.int32),
+                jax.ShapeDtypeStruct((T, max(ny, 1), S_loc, LANE), dt),
+                jax.ShapeDtypeStruct((nx, S_loc, LANE), dt),
+                jax.ShapeDtypeStruct((nx, S_loc, LANE), dt),
+                jax.ShapeDtypeStruct((nn_total, S_loc, LANE), dt),
+                jax.ShapeDtypeStruct((nn_total, S_loc, LANE), dt),
+                jax.ShapeDtypeStruct((np_total, S_loc, LANE), dt),
+                jax.ShapeDtypeStruct((dz_total, S_loc, LANE), dt),
+                jax.ShapeDtypeStruct((nsub_m, S_loc, LANE), dt),
+                jax.ShapeDtypeStruct((S_loc, LANE), jnp.int32),
+                jax.ShapeDtypeStruct((nsub_m, S_loc, LANE), jnp.int32),
             ],
             scratch_shapes=[
                 pltpu.VMEM((nx, Sg, LANE), dt),
@@ -1599,6 +1614,17 @@ class FusedRunner:
             ],
             interpret=self.interpret,
         )
+        if self.mesh is not None:
+            from jax.sharding import PartitionSpec as P
+            ax = self.mesh_axis
+            sh3 = P(None, ax, None)   # (n, S, LANE) arrays: shard S
+            fn = jax.shard_map(
+                fn, mesh=self.mesh,
+                in_specs=(P(None, None), sh3, sh3, sh3,
+                          sh3, sh3, sh3, sh3, sh3, sh3, sh3),
+                out_specs=(P(None, None, ax, None), sh3, sh3, sh3, sh3,
+                           sh3, sh3, sh3, P(ax, None), sh3),
+                check_vma=False)
         jitted = jax.jit(fn)
         self._jit_cache[key] = jitted
         return jitted, T

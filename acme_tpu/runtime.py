@@ -163,64 +163,93 @@ def steadystate(model: DiscreteModel, u=None, return_z: bool = False):
     return xs
 
 
-def operating_point(model: DiscreteModel, u=None, resabstol=1e-9):
+def operating_point(model: DiscreteModel, u=None, resabstol=1e-9,
+                    runin=2048):
     """Approximate steady operating point (x, z) for constant input ``u``,
     for float32 operating-point centering (ops/fused.py).
 
     Differs from :func:`steadystate` (the reference-faithful path,
-    ACME.jl:474-497) in robustness, not meaning -- centering is exact for
-    ANY center point, so this only needs to land *near* the trajectory:
+    ACME.jl:474-497) in robustness and *branch selection*, not meaning --
+    centering is exact for ANY center point, so this only needs to land
+    near the trajectory, but it must land on the trajectory's solution
+    BRANCH (a steady solve homotopied from zero can converge to a
+    different root of a weakly-determined subsystem -- the dead-zone diode
+    trio of the chain-decomposed superover -- and a wrong-root center
+    poisons every fused warm start).  Approach:
 
-    * singular ``I - A`` (e.g. a capacitor across a stiff source leaves an
-      undriven, decoupled state: the chain-decomposed superover,
-      ref test/runtests.jl:763-764 @test_broken) is solved minimum-norm
-      via lstsq instead of raising;
-    * the per-subsystem homotopy runs at a loose ``resabstol`` and a
-      non-converged subsystem returns its best-effort z instead of
-      raising.
+    1. **Run-in**: run the real dynamics for ``runin`` samples at constant
+       ``u`` -- on-branch by construction; gives (x_run, z_run).
+    2. **Warm steady solve**: per-subsystem Newton started at z_run (no
+       homotopy restart from zero), so it converges to the *nearby* root;
+       a non-converged subsystem keeps its run-in value instead of
+       raising.
+    3. **Null-mode handling**: eigenvalue-1 modes of A (a capacitor across
+       a stiff source leaves an undriven state: the reference's own steady
+       state is broken there, test/runtests.jl:763-764 @test_broken) are
+       constants of motion; their center value is matched to the
+       trajectory (w^T x = w^T x_run for left null vectors w of I - A)
+       rather than chosen minimum-norm.
     """
     if u is None:
         u = np.zeros(model.nu)
     u = np.asarray(u, float)
-    IA = np.eye(model.nx) - np.asarray(model.a, float)
+    nx = model.nx
 
-    def ia_solve(rhs):
+    # 1. run-in (state is restored; solver warm origins legitimately move)
+    x_run = np.zeros(nx)
+    z_run = np.zeros(model.nn())
+    if runin and (nx or model.nn()):
+        x_save = model.x.copy()
         try:
-            return np.linalg.solve(IA, rhs)
-        except np.linalg.LinAlgError:
-            return np.linalg.lstsq(IA, rhs, rcond=None)[0]
+            model.x[:] = 0.0
+            runner = ModelRunner(model)
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore")
+                runner.run(np.ascontiguousarray(
+                    np.broadcast_to(u[:, None], (model.nu, int(runin)))))
+            x_run = model.x.copy()
+            z_run = runner.z.copy()
+        except Exception:
+            x_run = np.zeros(nx)
+            z_run = np.zeros(model.nn())
+        finally:
+            model.x[:] = x_save
 
-    steady_z = np.zeros(model.nn())
-    zoff = 0
-    for idx in range(model.nsubsystems):
-        nn_i = model.nn(idx)
-        zr = slice(zoff, zoff + nn_i)
-        dqIA = ia_solve(np.asarray(model.dqs[idx], float).T).T \
-            if model.nx > 0 else np.zeros((model.np(idx), 0))
-        steady_q0 = (model.q0s[idx]
-                     + model.pexps[idx] @ ((dqIA @ model.b + model.eqs[idx]) @ u
-                                           + (dqIA @ model.c + model.fqprevs[idx]) @ steady_z)
-                     + (model.pexps[idx] @ dqIA @ model.x0 if model.nx > 0 else 0.0))
-        fq_eff = (model.pexps[idx] @ dqIA @ model.c[:, zr] if model.nx > 0 else 0.0) \
-            + model.fqs[idx]
-        nl = model.nl_funcs[idx]
+    # trajectory-matched affine solve X(rhs) with (I-A) X = rhs and
+    # w^T X = w^T x_run on the left null space:
+    #   X(rhs) = (M - K M) rhs + K x_run,  M = pinv(I-A),
+    #   K = N (W^T N)^{-1} W^T  (N/W right/left null bases)
+    if nx:
+        IA = np.eye(nx) - np.asarray(model.a, float)
+        U_, s_, Vt_ = np.linalg.svd(IA)
+        cutoff = max(IA.shape) * np.finfo(float).eps * (s_[0] if s_.size else 1.0)
+        rank = int(np.sum(s_ > cutoff))
+        M = (Vt_[:rank].T / s_[:rank]) @ U_[:, :rank].T
+        if rank < nx:
+            N_ = Vt_[rank:].T
+            W_ = U_[:, rank:]
+            K = N_ @ np.linalg.solve(W_.T @ N_, W_.T)
+            MM = M - K @ M
+            x_off = K @ x_run
+        else:
+            MM = M
+            x_off = np.zeros(nx)
+    else:
+        MM = np.zeros((0, 0))
+        x_off = np.zeros(0)
 
-        def func(res, J, scratch, z, fq_eff=fq_eff, nl=nl):
-            pfull = scratch[0]
-            q = pfull + fq_eff @ z
-            r, Jq = nl(np, q)
-            res[:] = r
-            scratch[1][:] = Jq
-            J[:] = Jq @ fq_eff
-
-        nleq = ParametricNonLinEq(func, nn=nn_i, np_=model.nq(idx))
-        solver = HomotopySolver(nleq, np.zeros(model.nq(idx)), np.zeros(nn_i),
-                                base=SimpleSolver)
-        solver.set_resabstol(float(resabstol))
-        steady_z[zr] = solver.solve(steady_q0)
-        zoff += nn_i
-    xs = ia_solve(model.b @ u + model.c @ steady_z + model.x0) \
-        if model.nx > 0 else np.zeros(0)
+    # 2. z center = the run-in value itself.  A warm per-subsystem steady
+    # refinement was tried and REVERTED: the (I-A)^-1-folded steady system
+    # has spurious fixed points (non-physical DK roots: the refined point
+    # held y = 3.23 V where the trajectory's steady output is 0), and
+    # Newton on the folded system hops to them even from a near-trajectory
+    # start.  The run-in value is within the remaining-transient distance
+    # of steady, which centering tolerates by construction.
+    steady_z = z_run
+    # x center = trajectory-matched fixed point of the LINEAR part at
+    # z = z_run (projects out the already-settled linear transient)
+    xs = (MM @ (model.b @ u + model.c @ steady_z + model.x0) + x_off) \
+        if nx else np.zeros(0)
     return xs, steady_z
 
 

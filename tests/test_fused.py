@@ -96,3 +96,114 @@ def test_fused_rejects_bad_lanes():
     fr = FusedRunner(M.birdie_model(), lane_input_idx=(1,), **FAST)
     with pytest.raises(ValueError, match="multiple of 128"):
         fr.run(np.zeros((1, 8)), np.full((7, 1), 0.5))
+
+
+# -- production-tier coverage (VERDICT r2 weak #5): every solver tier and
+# -- runner knob of ops/fused.py reachable from CI, at nn=1/nn=3 interpret
+# -- cost.  The full-accuracy numbers for these paths are measured on real
+# -- TPU by bench.py; here we pin behavior and wiring.
+
+def test_fused_nonconvergence_fail_counter(clipper_ref):
+    """A diode driven backwards by a current source has no solution: the
+    whole rescue ladder (gated loop -> homotopy continuation -> df Newton)
+    must run out, the per-lane fail counter must fire, and the output must
+    stay finite (reference semantics ACME.jl:688-694)."""
+    circ = A.Circuit()
+    circ.add("d", A.diode())
+    circ.add("src", A.currentsource())
+    circ.connect(("src", "+"), ("d", "+"))
+    circ.connect(("src", "-"), ("d", "-"))
+    circ.add("probe", A.voltageprobe())
+    circ.connect(("probe", "+"), ("d", "+"))
+    circ.connect(("probe", "-"), ("d", "-"))
+    model = A.DiscreteModel(circ, 1)
+    fr = FusedRunner(model, newton_iters=8, interpret=True, time_chunk=8)
+    u = np.array([[-1.0, -1.0, -1.0, -1.0]])
+    y, st, info = fr.run(u, np.zeros((128, 0)))
+    assert np.all(np.isfinite(np.asarray(y)))
+    fails = np.asarray(info.fails)
+    assert int(fails.min()) >= 1  # every lane flagged, every sample counted
+    # forward drive converges with zero fails through the same kernel
+    y2, st2, info2 = fr.run(np.array([[1.0, 1.0, 1.0, 1.0]]),
+                            np.zeros((128, 0)))
+    assert int(np.asarray(info2.fails).max()) == 0
+
+
+def test_fused_rescue_tiers_engage_and_recover(clipper_ref):
+    """Starve the plain Newton loop (newton_iters=2) on a hard step input:
+    the homotopy-continuation / df-rescue tiers must finish the job (zero
+    fails) and the iteration counters must show more work than the loop cap
+    could have performed -- proof the rescue tiers engaged."""
+    u, y64 = clipper_ref
+    T = 48
+    step = 3.0 * np.ones((1, T))
+    step[0, 0] = 0.0
+    fr = FusedRunner(M.diodeclipper_model(), newton_iters=2, tol=1e-9,
+                     interpret=True, time_chunk=48)
+    y, st, info = fr.run(step, np.zeros((128, 0)))
+    assert int(np.asarray(info.fails).max()) == 0
+    iters = np.asarray(info.iters)[:, 0]
+    assert int(iters.max()) > 2 * T  # beyond the loop cap: rescue ran
+    # and the answers match the f64 engine on the same input
+    y64s, _, _ = compile_model(M.diodeclipper_model()).run(step)
+    err = np.max(np.abs(np.asarray(y)[0, 0] - np.asarray(y64s)[0]))
+    assert 20 * np.log10(err / np.max(np.abs(y64s))) < -80
+
+
+def test_fused_pivot_off_birdie():
+    """pivot=False main path (the production speed knob) on an nn=3
+    subsystem, where elimination order actually matters."""
+    T = 64
+    u = (0.1 * np.sin(2 * np.pi * 1000 / 44100 * np.arange(T)))[None, :]
+    m = M.birdie_model(vol=0.8)
+    y64, _, _ = compile_model(M.birdie_model(vol=0.8)).run(u)
+    fr = FusedRunner(m, pivot=False, time_chunk=64, **FAST)
+    y, st, info = fr.run(u, np.zeros((128, 0)))
+    assert int(np.asarray(info.fails).max()) == 0
+    err = np.max(np.abs(np.asarray(y)[0, 0] - np.asarray(y64)[0]))
+    assert 20 * np.log10(err / np.max(np.abs(y64))) < -60
+
+
+def test_fused_fast_iters_unguarded_path(clipper_ref):
+    """fast_iters>0: blind Newton steps verified by the polish residual,
+    falling back to the gated loop when the verification fails."""
+    u, y64 = clipper_ref
+    fr = FusedRunner(M.diodeclipper_model(), newton_iters=12, tol=1e-9,
+                     interpret=True, time_chunk=128, fast_iters=2)
+    y, st, info = fr.run(u[:, :128], np.zeros((128, 0)))
+    assert int(np.asarray(info.fails).max()) == 0
+    err = np.max(np.abs(np.asarray(y)[0, 0] - y64[0, :128]))
+    assert 20 * np.log10(err / np.max(np.abs(y64))) < -100
+
+
+def test_fused_lane_scale_idx(clipper_ref):
+    """Per-lane input scaling (one audio stream fanned out at L levels)."""
+    u, y64 = clipper_ref
+    T = 128
+    levels = np.full((128, 1), 1.0)
+    levels[64:] = 0.25
+    fr = FusedRunner(M.diodeclipper_model(), lane_scale_idx=(0,),
+                     newton_iters=12, tol=1e-9, interpret=True,
+                     time_chunk=128)
+    y, st, info = fr.run(u[:, :T], levels)
+    assert int(np.asarray(info.fails).max()) == 0
+    err0 = np.max(np.abs(np.asarray(y)[0, 0] - y64[0, :T]))
+    assert 20 * np.log10(err0 / np.max(np.abs(y64))) < -100
+    y64q, _, _ = compile_model(M.diodeclipper_model()).run(0.25 * u[:, :T])
+    err1 = np.max(np.abs(np.asarray(y)[100, 0] - np.asarray(y64q)[0]))
+    assert 20 * np.log10(err1 / np.max(np.abs(y64))) < -100
+
+
+def test_fused_multi_group_grid(clipper_ref):
+    """group_lanes < L: multiple independent grid groups (G > 1), each
+    running its own time axis with VMEM-resident state (ADVICE r2: the
+    multi-group path was never exercised in CI)."""
+    u, y64 = clipper_ref
+    T = 64
+    fr = FusedRunner(M.diodeclipper_model(), time_chunk=32,
+                     group_lanes=1024, **FAST)
+    y, st, info = fr.run(u[:, :T], np.zeros((2048, 0)))
+    assert fr._group_S(2048 // 128) == 8  # really 2 groups of 1024
+    assert int(np.asarray(info.fails).max()) == 0
+    err = np.max(np.abs(np.asarray(y)[:, 0, :] - y64[0, :T]).max())
+    assert 20 * np.log10(err / np.max(np.abs(y64))) < -100
