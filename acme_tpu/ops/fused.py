@@ -144,6 +144,18 @@ def _prod_const(cs, v, vh, vl):
     return pr, err
 
 
+class _Var:
+    """Per-lane-varying coefficient: index into the runtime (hi, lo)
+    coefficient tables (multi-model FusedRunner)."""
+    __slots__ = ("i",)
+
+    def __init__(self, i):
+        self.i = i
+
+    def __repr__(self):
+        return f"_Var({self.i})"
+
+
 def _solve_rows(J, R, refine=1, pivot=True):
     """Solve the per-lane dense systems J X = R where J is a list of lists of
     (S,128) vectors and R is a list of right-hand sides (each a list of n
@@ -281,7 +293,24 @@ class FusedRunner:
         # 1-D jax.sharding.Mesh (e.g. acme_tpu.parallel.lane_mesh()).
         self.mesh = mesh
         self.mesh_axis = mesh_axis
-        self.model = model
+        # per-lane model matrices (the fused analog of
+        # engine.BatchCompiledModel): pass a LIST of same-topology models
+        # and every coefficient that differs between them becomes a
+        # VMEM-resident per-lane (hi, lo) table instead of an
+        # instruction-stream immediate; identical coefficients stay
+        # immediates, so the kernel cost grows only with what actually
+        # varies.  Lane i runs models[i % len(models)].
+        models = list(model) if isinstance(model, (list, tuple)) else [model]
+        m0 = models[0]
+        for m in models[1:]:
+            if (m.nx, m.nu, m.ny, m.nsubsystems) != \
+                    (m0.nx, m0.nu, m0.ny, m0.nsubsystems) or any(
+                    (m.nn(k), m.np(k)) != (m0.nn(k), m0.np(k))
+                    for k in range(m0.nsubsystems)):
+                raise ValueError(
+                    "per-lane models must share dimensions/decomposition")
+        self.models = models
+        self.model = model = m0
         self.K = int(newton_iters)
         # unguarded fast path: this many plain Newton steps per sample with
         # no convergence bookkeeping; the polish residual verifies them and
@@ -356,94 +385,129 @@ class FusedRunner:
         elif self.lane_idx:
             for i in self.lane_idx:
                 self.u_ss[i] = 0.5  # pots at mid travel
-        self.x_ss = np.zeros(model.nx)
-        self.z_ss = np.zeros(self.nn_total)
-        if center and (model.nx or self.nn_total):
+        def center_of(m):
+            if not (center and (m.nx or self.nn_total)):
+                return np.zeros(m.nx), np.zeros(self.nn_total)
             try:
                 from ..runtime import steadystate
-                self.x_ss, self.z_ss = steadystate(model, self.u_ss,
-                                                   return_z=True)
+                return steadystate(m, self.u_ss, return_z=True)
             except Exception:
                 # strict (reference-faithful, 1e-15) steady state can fail
                 # where the reference's own is broken (singular I - A /
                 # unreachable tolerance: chain-decomposed superover,
                 # ref test/runtests.jl:763-764).  Centering only needs a
                 # point NEAR the trajectory (it is exact for any center),
-                # so fall back to the robust approximate operating point.
+                # so fall back to the robust run-in operating point.
                 try:
                     from ..runtime import operating_point
-                    self.x_ss, self.z_ss = operating_point(model, self.u_ss)
+                    return operating_point(m, self.u_ss)
                 except Exception:
-                    self.u_ss = np.zeros(model.nu)  # centering unavailable
-        a = np.asarray(model.a, float)
-        b = np.asarray(model.b, float)
-        c = np.asarray(model.c, float)
-        self.x0_c = (np.asarray(model.x0, float) + a @ self.x_ss
-                     + b @ self.u_ss + c @ self.z_ss - self.x_ss)
-        self.y0_c = (np.asarray(model.y0, float)
-                     + np.asarray(model.dy, float) @ self.x_ss
-                     + np.asarray(model.ey, float) @ self.u_ss
-                     + np.asarray(model.fy, float) @ self.z_ss)
-        # State balancing: DK states are energy-storage quantities (capacitor
-        # charge, inductor flux), numerically ~1e-9 of the voltage scale, so
-        # read-out rows like Dy carry coefficients up to ~1e6.  In float32
-        # that cancellation alone caps output accuracy near -60 dB.  Rescale
-        # x by per-state powers of two (lossless) so that each state's
-        # strongest writer and reader coefficients are comparable:
-        #   a -> T^-1 a T,  b,c,x0 -> T^-1 *,  dy,dq -> * T.
-        dy = np.asarray(model.dy, float)
-        dq_list = [np.asarray(model.dqs[k], float) for k in range(self.nsub)]
-        self.Tx = self._balance_states(a, b, c, dy, dq_list)
-        Tc_ = self.Tx[:, None] if model.nx else np.ones((0, 1))
-        Tr_ = self.Tx[None, :] if model.nx else np.ones((1, 0))
-        self.a_b = a * (Tr_ / Tc_) if model.nx else a
-        self.b_b = b / Tc_ if model.nx else b
-        self.c_b = c / Tc_ if model.nx else c
-        self.x0_b = self.x0_c / self.Tx if model.nx else self.x0_c
-        self.dy_b = dy * Tr_
-        self.dq_bs = [d * Tr_ for d in dq_list]
+                    return np.zeros(m.nx), np.zeros(self.nn_total)
 
-        self.q0_c = []
-        self.tols = []
-        self.gates = []
-        self.dzdp0 = []
-        off = 0
-        for kk in range(self.nsub):
-            nn_k, np_k = model.nn(kk), model.np(kk)
-            q0 = (np.asarray(model.q0s[kk], float)
-                  + np.asarray(model.pexps[kk], float)
-                  @ (np.asarray(model.dqs[kk], float) @ self.x_ss
-                     + np.asarray(model.eqs[kk], float) @ self.u_ss
-                     + np.asarray(model.fqprevs[kk], float) @ self.z_ss)
-                  + np.asarray(model.fqs[kk], float) @ self.z_ss[off:off + nn_k])
-            self.q0_c.append(q0)
-            off += nn_k
-            # per-subsystem tolerances: the float32 rounding floor of this
-            # subsystem's residual differs by orders of magnitude between
-            # subsystems (volt-scale pot rows vs mA-scale junction rows).
-            # Estimate it from the term magnitudes |Jq| |q| at the operating
-            # point (NOT from res(q0_c), which is only ~0 when the centering
-            # steady state is exactly consistent -- for chain-coupled models
-            # the reference's own steady state is not, test/runtests.jl:763).
-            # tol = success; gate = "stagnated at the floor, accept"; above
-            # the gate a lane is flagged non-converged (the reference's
-            # warning path).
-            floor = float(self._floor_measure(kk, q0[:, None]).max()) \
-                if nn_k else 0.0
-            self.tols.append(max(self.tol, 8.0 * floor))
-            self.gates.append(max(96.0 * floor, 32.0 * self.tol))
-            res, Jq = model.nl_funcs[kk](np, q0)
-            # initial extrapolation sensitivity at the operating point
-            # (solvers.jl:164-178)
-            J = Jq @ np.asarray(model.fqs[kk], float)
-            Jp = Jq @ np.asarray(model.pexps[kk], float)
-            try:
-                d0 = -np.linalg.solve(J, Jp)
-            except np.linalg.LinAlgError:
-                d0 = np.zeros((nn_k, np_k))
-            self.dzdp0.append(d0)
+        # Per-model preparation: centering shift + power-of-two state
+        # balancing.  State balancing scales are SHARED across models (from
+        # models[0]) so the state carries stay comparable lane-to-lane.
+        # For a multi-model runner every prepared coefficient is compared
+        # across models afterwards: equal ones become compile-time
+        # immediates, differing ones per-lane tables.
+        self._prep = []
+        self.Tx = None
+        for m in self.models:
+            x_ss, z_ss = center_of(m)
+            a = np.asarray(m.a, float)
+            b = np.asarray(m.b, float)
+            c = np.asarray(m.c, float)
+            x0_c = (np.asarray(m.x0, float) + a @ x_ss
+                    + b @ self.u_ss + c @ z_ss - x_ss)
+            y0_c = (np.asarray(m.y0, float)
+                    + np.asarray(m.dy, float) @ x_ss
+                    + np.asarray(m.ey, float) @ self.u_ss
+                    + np.asarray(m.fy, float) @ z_ss)
+            # State balancing: DK states are energy-storage quantities
+            # (capacitor charge, inductor flux), numerically ~1e-9 of the
+            # voltage scale, so read-out rows like Dy carry coefficients up
+            # to ~1e6.  In float32 that cancellation alone caps output
+            # accuracy near -60 dB.  Rescale x by per-state powers of two
+            # (lossless) so that each state's strongest writer and reader
+            # coefficients are comparable:
+            #   a -> T^-1 a T,  b,c,x0 -> T^-1 *,  dy,dq -> * T.
+            dy = np.asarray(m.dy, float)
+            dq_list = [np.asarray(m.dqs[k], float) for k in range(self.nsub)]
+            if self.Tx is None:
+                self.Tx = self._balance_states(a, b, c, dy, dq_list)
+            Tc_ = self.Tx[:, None] if m.nx else np.ones((0, 1))
+            Tr_ = self.Tx[None, :] if m.nx else np.ones((1, 0))
+            p = dict(
+                x_ss=x_ss, z_ss=z_ss,
+                a=a * (Tr_ / Tc_) if m.nx else a,
+                b=b / Tc_ if m.nx else b,
+                c=c / Tc_ if m.nx else c,
+                x0=(x0_c / self.Tx if m.nx else x0_c),
+                dy=dy * Tr_, ey=np.asarray(m.ey, float),
+                fy=np.asarray(m.fy, float), y0=y0_c,
+                dq=[d * Tr_ for d in dq_list],
+                eq=[np.asarray(m.eqs[k], float) for k in range(self.nsub)],
+                fqprev=[np.asarray(m.fqprevs[k], float)
+                        for k in range(self.nsub)],
+                fq=[np.asarray(m.fqs[k], float) for k in range(self.nsub)],
+                pexp=[np.asarray(m.pexps[k], float)
+                      for k in range(self.nsub)],
+                q0=[], dzdp0=[], tols=[], gates=[])
+            off = 0
+            for kk in range(self.nsub):
+                nn_k, np_k = m.nn(kk), m.np(kk)
+                q0 = (np.asarray(m.q0s[kk], float)
+                      + np.asarray(m.pexps[kk], float)
+                      @ (np.asarray(m.dqs[kk], float) @ x_ss
+                         + np.asarray(m.eqs[kk], float) @ self.u_ss
+                         + np.asarray(m.fqprevs[kk], float) @ z_ss)
+                      + np.asarray(m.fqs[kk], float) @ z_ss[off:off + nn_k])
+                p["q0"].append(q0)
+                off += nn_k
+                # per-subsystem tolerances: the float32 rounding floor of
+                # this subsystem's residual differs by orders of magnitude
+                # between subsystems (volt-scale pot rows vs mA-scale
+                # junction rows).  Estimate it from the term magnitudes
+                # |Jq| |q| at the operating point (NOT from res(q0_c),
+                # which is only ~0 when the centering steady state is
+                # exactly consistent -- for chain-coupled models the
+                # reference's own steady state is not, runtests.jl:763).
+                # tol = success; gate = "stagnated at the floor, accept";
+                # above the gate a lane is flagged non-converged (the
+                # reference's warning path).
+                floor = float(self._floor_measure(kk, q0[:, None], model=m)
+                              .max()) if nn_k else 0.0
+                p["tols"].append(max(self.tol, 8.0 * floor))
+                p["gates"].append(max(96.0 * floor, 32.0 * self.tol))
+                res, Jq = m.nl_funcs[kk](np, q0)
+                # initial extrapolation sensitivity at the operating point
+                # (solvers.jl:164-178)
+                J = Jq @ np.asarray(m.fqs[kk], float)
+                Jp = Jq @ np.asarray(m.pexps[kk], float)
+                try:
+                    d0 = -np.linalg.solve(J, Jp)
+                except np.linalg.LinAlgError:
+                    d0 = np.zeros((nn_k, np_k))
+                p["dzdp0"].append(d0)
+            self._prep.append(p)
+        p0 = self._prep[0]
+        # single-model attribute views (kept: initial_state, tolerances and
+        # the kernel builder read these; multi-model variants are resolved
+        # per lane)
+        self.x_ss, self.z_ss = p0["x_ss"], p0["z_ss"]
+        self.x0_c = p0["x0"] * self.Tx if model.nx else p0["x0"]
+        self.y0_c = p0["y0"]
+        self.a_b, self.b_b, self.c_b = p0["a"], p0["b"], p0["c"]
+        self.x0_b, self.dy_b, self.dq_bs = p0["x0"], p0["dy"], p0["dq"]
+        self.q0_c = p0["q0"]
+        self.tols = [max(p["tols"][k] for p in self._prep)
+                     for k in range(self.nsub)]
+        self.gates = [max(p["gates"][k] for p in self._prep)
+                      for k in range(self.nsub)]
+        self.dzdp0 = p0["dzdp0"]
+        self._merge_coefficients()
 
-    def _floor_measure(self, kk, q64, comp=None):
+    def _floor_measure(self, kk, q64, comp=None, model=None):
         """Empirical float32 residual floor at the points ``q64`` (nq, L):
         evaluate the element physics in simulated kernel arithmetic (float32,
         optionally with the q_lo first-order compensation) and compare with
@@ -451,7 +515,7 @@ class FusedRunner:
         will see, per lane."""
         if comp is None:
             comp = self.compensated
-        nl = self.model.nl_funcs[kk]
+        nl = (model or self.model).nl_funcs[kk]
         res64, _ = nl(np, q64)
         qhi = q64.astype(np.float32)
         res32, Jq32 = nl(np, qhi)
@@ -461,6 +525,64 @@ class FusedRunner:
             res32 = res32 + corr
         err = np.abs(res32.astype(np.float64) - res64)
         return err.max(axis=0) if err.size else np.zeros(q64.shape[1:])
+
+    def _merge_coefficients(self):
+        """Compare every prepared coefficient across the models: equal ones
+        stay compile-time immediates (floats), differing ones become _Var
+        indices into the per-lane (hi, lo) coefficient tables."""
+        preps = self._prep
+        n = len(preps)
+        var_vals = []
+
+        def mk(get):
+            arrs = [np.asarray(get(p), float) for p in preps]
+            a0 = arrs[0]
+            if n == 1:
+                return a0.tolist()
+            stack = np.stack(arrs)
+            eq = np.all(stack == stack[0:1], axis=0)
+            out = np.empty(a0.shape, object)
+            for idx in np.ndindex(a0.shape):
+                if eq[idx]:
+                    out[idx] = float(a0[idx])
+                else:
+                    out[idx] = _Var(len(var_vals))
+                    var_vals.append(stack[(slice(None),) + idx])
+            return out.tolist()
+
+        self.P = dict(
+            a=mk(lambda p: p["a"]), b=mk(lambda p: p["b"]),
+            c=mk(lambda p: p["c"]), x0=mk(lambda p: p["x0"]),
+            dy=mk(lambda p: p["dy"]), ey=mk(lambda p: p["ey"]),
+            fy=mk(lambda p: p["fy"]), y0=mk(lambda p: p["y0"]),
+            subs=[dict(
+                dq=mk(lambda p, k=k: p["dq"][k]),
+                eq=mk(lambda p, k=k: p["eq"][k]),
+                fqprev=mk(lambda p, k=k: p["fqprev"][k]),
+                fq=mk(lambda p, k=k: p["fq"][k]),
+                pexp=mk(lambda p, k=k: p["pexp"][k]),
+                q0=mk(lambda p, k=k: p["q0"][k]))
+                for k in range(self.nsub)])
+        self.nvar = len(var_vals)
+        self.var_tab = (np.stack(var_vals) if var_vals
+                        else np.zeros((0, n)))
+
+    def _lane_model_idx(self, L):
+        """Lane -> model mapping (cyclic)."""
+        return np.arange(L) % len(self.models)
+
+    def _coef_tables(self, S):
+        """Per-lane coefficient tables (nvar_m, S, LANE) as (hi, lo) f32."""
+        L = S * LANE
+        nv = max(self.nvar, 1)
+        hi = np.zeros((nv, L), np.float32)
+        lo = np.zeros((nv, L), np.float32)
+        if self.nvar:
+            vals = self.var_tab[:, self._lane_model_idx(L)]  # (nvar, L)
+            hi[:self.nvar] = vals.astype(np.float32)
+            lo[:self.nvar] = (vals - hi[:self.nvar].astype(np.float64)
+                              ).astype(np.float32)
+        return hi.reshape(nv, S, LANE), lo.reshape(nv, S, LANE)
 
     @staticmethod
     def _balance_states(a, b, c, dy, dq_list, sweeps: int = 25):
@@ -509,41 +631,39 @@ class FusedRunner:
         refine = self.refine
         comp = self.compensated
         dfs = self.df_state
-        a = self.a_b
-        b = self.b_b
-        c = self.c_b
-        x0 = self.x0_b
-        dy = self.dy_b
-        ey = np.asarray(m.ey, float)
-        fy = np.asarray(m.fy, float)
-        y0 = self.y0_c
-        a_sp = [[_const_split(v) for v in row] for row in a]
-        b_sp = [[_const_split(v) for v in row] for row in b]
-        c_sp = [[_const_split(v) for v in row] for row in c]
-        x0_sp = [_const_split(v) for v in x0]
-        dy_sp = [[_const_split(v) for v in row] for row in dy]
-        ey_sp = [[_const_split(v) for v in row] for row in ey]
-        fy_sp = [[_const_split(v) for v in row] for row in fy]
-        y0_sp = [_const_split(v) for v in y0]
+        nvar = self.nvar
+
+        def SP(v):
+            """Split a coefficient for the compensated dots: compile-time
+            Dekker split for immediates, the _Var handle itself for
+            per-lane-varying coefficients (split at runtime)."""
+            return v if isinstance(v, _Var) else _const_split(v)
+
+        P = self.P
+        a, b, c, x0 = P["a"], P["b"], P["c"], P["x0"]
+        dy, ey, fy, y0 = P["dy"], P["ey"], P["fy"], P["y0"]
+        a_sp = [[SP(v) for v in row] for row in a]
+        b_sp = [[SP(v) for v in row] for row in b]
+        c_sp = [[SP(v) for v in row] for row in c]
+        x0_sp = [SP(v) for v in x0]
         subs = []
         zoff = poff = doff = 0
         for kk in range(self.nsub):
-            fq_m = np.asarray(m.fqs[kk], float)
-            pexp_m = np.asarray(m.pexps[kk], float)
-            q0_m = self.q0_c[kk]
+            PS = P["subs"][kk]
+            fq_m = PS["fq"]
+            pexp_m = PS["pexp"]
+            q0_m = PS["q0"]
             subs.append(dict(
-                dq=self.dq_bs[kk], eq=np.asarray(m.eqs[kk], float),
-                fqprev=np.asarray(m.fqprevs[kk], float),
+                dq=PS["dq"], eq=PS["eq"],
+                fqprev=PS["fqprev"],
                 fq=fq_m, pexp=pexp_m,
                 q0=q0_m, nl=m.nl_funcs[kk],
-                dq_sp=[[_const_split(v) for v in row] for row in self.dq_bs[kk]],
-                eq_sp=[[_const_split(v) for v in row]
-                       for row in np.asarray(m.eqs[kk], float)],
-                fqprev_sp=[[_const_split(v) for v in row]
-                           for row in np.asarray(m.fqprevs[kk], float)],
-                fq_sp=[[_const_split(v) for v in row] for row in fq_m],
-                pexp_sp=[[_const_split(v) for v in row] for row in pexp_m],
-                q0_sp=[_const_split(v) for v in q0_m],
+                dq_sp=[[SP(v) for v in row] for row in PS["dq"]],
+                eq_sp=[[SP(v) for v in row] for row in PS["eq"]],
+                fqprev_sp=[[SP(v) for v in row] for row in PS["fqprev"]],
+                fq_sp=[[SP(v) for v in row] for row in fq_m],
+                pexp_sp=[[SP(v) for v in row] for row in pexp_m],
+                q0_sp=[SP(v) for v in q0_m],
                 tol=self.tols[kk], gate=self.gates[kk],
                 off=zoff, poff=poff, doff=doff,
                 nn=m.nn(kk), np=m.np(kk), nq=m.nq(kk),
@@ -564,41 +684,83 @@ class FusedRunner:
         nu_t, nu_l = len(time_idx), len(lane_idx)
         nu_l_total = nu_l + len(scale_idx)
 
+        # Runtime environment for per-lane-varying coefficients: populated
+        # at kernel trace time (the tables live in VMEM refs only visible
+        # inside the kernel).  env["v"]/env["lo"] are the (hi, lo) vectors,
+        # env["sp"] caches runtime Dekker splits per index.
+        env = {"v": None, "lo": None, "sp": None}
+
+        def czero(cf):
+            """Structurally-zero test: only immediates can be skipped."""
+            return (not isinstance(cf, _Var)) and cf == 0.0
+
+        def cval(cf):
+            """Runtime value of a coefficient: python float (immediate) or
+            the per-lane vector."""
+            return env["v"][cf.i] if isinstance(cf, _Var) else _f(cf)
+
+        def vsplit(j):
+            # splits are precomputed eagerly at kernel start (outer-trace
+            # values): a lazy per-call-site cache would leak tracers
+            # between the nested while-loop subtraces
+            vh, vl = env["sp"][j]
+            return env["v"][j], vh, vl
+
+        def coef_hi_lo(cs):
+            """(hi, lo) initializer parts of a split coefficient."""
+            if isinstance(cs, _Var):
+                return env["v"][cs.i], env["lo"][cs.i]
+            return _f(cs[0]), _f(cs[3])
+
+        def prod_coef(cs, v, vh, vl):
+            """Error-free coefficient*value product for either coefficient
+            kind; returns (product, error, coef_hi)."""
+            if isinstance(cs, _Var):
+                av, ah, al = vsplit(cs.i)
+                pr = av * v
+                err = ((ah * vh - pr) + ah * vl + al * vh) + al * vl \
+                    + env["lo"][cs.i] * v
+                return pr, err, av
+            pr, err = _prod_const(cs, v, vh, vl)
+            return pr, err, cs[0]
+
         def dot_df(coef_sp, vals, vlos=None, init=(0.0, 0.0)):
-            """Compensated dot product: float64 coefficients (pre-split)
-            times double-float values (hi in vals, optional lo in vlos),
-            accumulated with error-free transforms.  Returns (hi, lo)."""
+            """Compensated dot product: float64 coefficients (pre-split
+            immediates or per-lane tables) times double-float values (hi in
+            vals, optional lo in vlos), accumulated with error-free
+            transforms.  Returns (hi, lo)."""
             hi, lo = init
             for idx2, cs in enumerate(coef_sp):
-                if cs[0] == 0.0 and cs[3] == 0.0:
+                if (not isinstance(cs, _Var)) and cs[0] == 0.0 \
+                        and cs[3] == 0.0:
                     continue
                 v = vals[idx2]
                 if v is None:
                     continue
                 v = jnp.asarray(v, jnp.float32)
                 vh, vl2 = _split_rt(v)
-                pr, err = _prod_const(cs, v, vh, vl2)
+                pr, err, c0 = prod_coef(cs, v, vh, vl2)
                 if vlos is not None and vlos[idx2] is not None:
-                    err = err + cs[0] * vlos[idx2]
+                    err = err + c0 * vlos[idx2]
                 hi, e2 = _two_sum(hi, pr)
                 lo = lo + (err + e2)
             return hi, lo
 
         def dotv(coeffs, vecs, init=None):
-            """sum_j coeffs[j]*vecs[j] with compile-time scalar coefficients;
-            structural zeros are skipped (the model's sparsity is baked into
-            the instruction stream)."""
+            """sum_j coeffs[j]*vecs[j]; immediate coefficients go into the
+            instruction stream with structural zeros skipped, per-lane
+            coefficients multiply as vectors."""
             acc = init
             for cf, v in zip(coeffs, vecs):
-                if cf == 0.0 or v is None:
+                if czero(cf) or v is None:
                     continue
-                term = _f(cf) * v
+                term = cval(cf) * v
                 acc = term if acc is None else acc + term
             return acc
 
         pivot = self.pivot
 
-        def kernel(u_ref, lane_ref, tol_ref, gate_ref,
+        def kernel(u_ref, lane_ref, tol_ref, gate_ref, ch_ref, cl_ref,
                    x_in, xlo_in, z_in, zw_in, wp_in, dzdp_in, pmode_in,
                    y_ref, x_out, xlo_out, z_out, zw_out, wp_out, dzdp_out,
                    pmode_out, fail_out, iters_out,
@@ -627,6 +789,10 @@ class FusedRunner:
                 iters_s[...] = jnp.zeros_like(iters_s)
 
             lane_vals = [lane_ref[j] for j in range(nu_l_total)]
+            if nvar:
+                env["v"] = [ch_ref[j] for j in range(nvar)]
+                env["lo"] = [cl_ref[j] for j in range(nvar)]
+                env["sp"] = [_split_rt(v) for v in env["v"]]
 
             def sample(t, _):
                 @pl.when(step_i * Tc + t < T0)
@@ -667,7 +833,8 @@ class FusedRunner:
                     for i in range(np_k):
                         if dfs:
                             nz_row = any(
-                                cs[0] != 0.0 or cs[3] != 0.0
+                                isinstance(cs, _Var)
+                                or cs[0] != 0.0 or cs[3] != 0.0
                                 for row in (sub["dq_sp"][i], sub["eq_sp"][i],
                                             sub["fqprev_sp"][i])
                                 for cs in row)
@@ -694,13 +861,15 @@ class FusedRunner:
                         pfull_lo = []
                         for ci in range(nq_k):
                             cs0 = sub["q0_sp"][ci]
-                            hi = jnp.asarray(cs0[0], jnp.float32)
-                            lo = jnp.asarray(cs0[3], jnp.float32)
+                            hi0, lo0 = coef_hi_lo(cs0)
+                            hi = jnp.asarray(hi0, jnp.float32)
+                            lo = jnp.asarray(lo0, jnp.float32)
                             for i in range(np_k):
                                 cs = sub["pexp_sp"][ci][i]
-                                if cs[0] == 0.0 and cs[3] == 0.0:
+                                if (not isinstance(cs, _Var)) \
+                                        and cs[0] == 0.0 and cs[3] == 0.0:
                                     continue
-                                pr, err = _prod_const(cs, p[i], *p_sp[i])
+                                pr, err, _ = prod_coef(cs, p[i], *p_sp[i])
                                 hi, e2 = _two_sum(hi, pr)
                                 lo = lo + (err + e2)
                             pfull.append(hi)
@@ -710,7 +879,7 @@ class FusedRunner:
                         pfull_lo = None
                         for ci in range(nq_k):
                             acc = dotv(sub["pexp"][ci], p)
-                            base = _f(sub["q0"][ci])
+                            base = cval(sub["q0"][ci])
                             pfull.append(base if acc is None else acc + base)
 
                     # extrapolated warm start (solvers.jl:209-215)
@@ -757,9 +926,12 @@ class FusedRunner:
                                 lo = pfull_lo[ci]
                                 for mi in range(nn_k):
                                     cs = sub["fq_sp"][ci][mi]
-                                    if cs[0] == 0.0 and cs[3] == 0.0:
+                                    if (not isinstance(cs, _Var)) \
+                                            and cs[0] == 0.0 \
+                                            and cs[3] == 0.0:
                                         continue
-                                    pr, err = _prod_const(cs, z[mi], *z_sp[mi])
+                                    pr, err, _ = prod_coef(cs, z[mi],
+                                                           *z_sp[mi])
                                     hi, e2 = _two_sum(hi, pr)
                                     lo = lo + (err + e2)
                                 q.append(hi)
@@ -811,9 +983,9 @@ class FusedRunner:
                                 acc = None
                                 for ci in range(nq_k):
                                     cf = sub["fq"][ci][bi]
-                                    if cf == 0.0:
+                                    if czero(cf):
                                         continue
-                                    term = Jq[ai, ci] * _f(cf)
+                                    term = Jq[ai, ci] * cval(cf)
                                     acc = term if acc is None else acc + term
                                 J[ai][bi] = acc if acc is not None \
                                     else jnp.zeros_like(z[0])
@@ -1020,7 +1192,7 @@ class FusedRunner:
                             pf = []
                             for ci in range(nq_k):
                                 acc = dotv(sub["pexp"][ci], pmix)
-                                base = _f(sub["q0"][ci])
+                                base = cval(sub["q0"][ci])
                                 pf.append(base if acc is None
                                           else acc + base)
                             zl = [z_h[i1] for i1 in range(nn_k)]
@@ -1170,9 +1342,9 @@ class FusedRunner:
                                     acc = None
                                     for ci in range(nq_k):
                                         cf = sub["pexp"][ci][bi]
-                                        if cf == 0.0:
+                                        if czero(cf):
                                             continue
-                                        term = Jq[ai, ci] * _f(cf)
+                                        term = Jq[ai, ci] * cval(cf)
                                         acc = term if acc is None \
                                             else acc + term
                                     col.append(acc if acc is not None
@@ -1426,21 +1598,21 @@ class FusedRunner:
                         acc = dotv(dy[oi], x_lo, acc)
                         acc = dotv(ey[oi], u_full, acc)
                         acc = dotv(fy[oi], z_all, acc)
-                        val = _f(y0[oi]) if acc is None \
-                            else acc + _f(y0[oi])
+                        val = cval(y0[oi]) if acc is None \
+                            else acc + cval(y0[oi])
                     else:
                         acc = dotv(dy[oi], x_v)
                         acc = dotv(ey[oi], u_full, acc)
                         acc = dotv(fy[oi], z_all, acc)
-                        val = _f(y0[oi]) if acc is None else acc + _f(y0[oi])
+                        val = cval(y0[oi]) if acc is None \
+                            else acc + cval(y0[oi])
                     y_ref[t, oi] = jnp.broadcast_to(
                         jnp.asarray(val, jnp.float32), y_ref.shape[2:])
                 if dfs:
                     x_new = []
                     for xi in range(nx):
                         hi, lo = dot_df(a_sp[xi], x_v, x_lo,
-                                        init=(_f(x0_sp[xi][0]),
-                                              _f(x0_sp[xi][3])))
+                                        init=coef_hi_lo(x0_sp[xi]))
                         hi, lo = dot_df(b_sp[xi], u_full, init=(hi, lo))
                         hi, lo = dot_df(c_sp[xi], z_all, init=(hi, lo))
                         hi2, lo2 = _two_sum(jnp.asarray(hi, jnp.float32),
@@ -1459,8 +1631,8 @@ class FusedRunner:
                         acc = dotv(a[xi], x_v)
                         acc = dotv(b[xi], u_full, acc)
                         acc = dotv(c[xi], z_all, acc)
-                        x_new.append(_f(x0[xi]) if acc is None
-                                     else acc + _f(x0[xi]))
+                        x_new.append(cval(x0[xi]) if acc is None
+                                     else acc + cval(x0[xi]))
                     for xi in range(nx):
                         x_s[xi] = jnp.broadcast_to(
                             jnp.asarray(x_new[xi], jnp.float32),
@@ -1527,7 +1699,7 @@ class FusedRunner:
         vec = Sg * LANE * 4
         nfixed = (2 * max(self.nx, 1) + 3 * max(self.nn_total, 1)
                   + max(self.np_total, 1) + max(self.dz_total, 1)
-                  + 4 + 2 * max(self.nsub, 1)
+                  + 4 + 2 * max(self.nsub, 1) + 2 * max(self.nvar, 1)
                   + len(self.lane_idx) + len(self.scale_idx))
         # in/out/scratch, each potentially double-buffered by Mosaic
         fixed = 6 * nfixed * vec
@@ -1561,6 +1733,8 @@ class FusedRunner:
             grouped((max(nu_l, 1), Sg, LANE)),
             grouped((nsub_m, Sg, LANE)),
             grouped((3 * nsub_m, Sg, LANE)),
+            grouped((max(self.nvar, 1), Sg, LANE)),
+            grouped((max(self.nvar, 1), Sg, LANE)),
             grouped((nx, Sg, LANE)),
             grouped((nx, Sg, LANE)),
             grouped((nn_total, Sg, LANE)),
@@ -1620,7 +1794,7 @@ class FusedRunner:
             sh3 = P(None, ax, None)   # (n, S, LANE) arrays: shard S
             fn = jax.shard_map(
                 fn, mesh=self.mesh,
-                in_specs=(P(None, None), sh3, sh3, sh3,
+                in_specs=(P(None, None), sh3, sh3, sh3, sh3, sh3,
                           sh3, sh3, sh3, sh3, sh3, sh3, sh3),
                 out_specs=(P(None, None, ax, None), sh3, sh3, sh3, sh3,
                            sh3, sh3, sh3, P(ax, None), sh3),
@@ -1633,56 +1807,66 @@ class FusedRunner:
     def initial_state(self, lanes: int, at_steady: bool = False):
         """Initial carry.  Default matches the reference (x = 0, z = initial
         operating point); ``at_steady`` starts at the centering steady state
-        (x~ = z~ = 0), skipping the power-up transient."""
-        m = self.model
+        (x~ = z~ = 0), skipping the power-up transient.  With per-lane
+        models, each lane starts at ITS model's initial operating point."""
         S = lanes // LANE
+        nm = len(self.models)
+        midx = self._lane_model_idx(lanes)
 
-        def tile(v, n):
-            v = np.asarray(v, np.float32).reshape(-1)
-            if v.size == 0:
-                v = np.zeros(n, np.float32)
-            return jnp.asarray(np.broadcast_to(
-                v[:, None, None], (v.size, S, LANE)).copy())
+        rows = {k: [] for k in ("x", "xlo", "z", "wp", "dz")}
+        for m, p in zip(self.models, self._prep):
+            x0v = (np.zeros(max(self.nx, 1)) if at_steady or self.nx == 0
+                   else -p["x_ss"] / self.Tx)
+            xlo_v = (x0v - x0v.astype(np.float32).astype(np.float64))
+            if self.nn_total:
+                z0 = (np.zeros(self.nn_total) if at_steady
+                      else np.concatenate([np.asarray(z, float)
+                                           for z in m.init_zs]) - p["z_ss"])
+            else:
+                z0 = np.zeros(1)
+            dz0 = (np.concatenate([d.reshape(-1) for d in p["dzdp0"]])
+                   if self.dz_total else np.zeros(1))
+            # the extrapolation origin (wp, zw) must be a CONSISTENT pair:
+            # the homotopy continuation anchors its path at p = wp where
+            # z = zw is the known solution.  zw starts at the initial
+            # operating point (solution at u = 0, x = x_init), so wp must
+            # be the centered p at exactly that state -- wp = 0 (i.e.
+            # u = u_ss, pots at center, supply on) is a different point
+            # and breaks the anchor for every power-up failure.
+            wp0 = np.zeros(max(self.np_total, 1))
+            if self.np_total and not at_steady:
+                u_c = -self.u_ss  # u = 0 in centered coordinates
+                zc = z0 if self.nn_total else np.zeros(0)
+                off = 0
+                for kk in range(self.nsub):
+                    npk = m.np(kk)
+                    wp0[off:off + npk] = (
+                        p["dq"][kk] @ x0v[:self.nx]
+                        + np.asarray(m.eqs[kk], float) @ u_c
+                        + np.asarray(m.fqprevs[kk], float)
+                        @ zc[:self.nn_total])
+                    off += npk
+            rows["x"].append(x0v)
+            rows["xlo"].append(xlo_v)
+            rows["z"].append(z0)
+            rows["wp"].append(wp0)
+            rows["dz"].append(dz0)
 
-        x0v = (np.zeros(max(self.nx, 1)) if at_steady or self.nx == 0
-               else -self.x_ss / self.Tx)
-        xlo_v = (x0v - x0v.astype(np.float32).astype(np.float64))
-        if self.nn_total:
-            z0 = (np.zeros(self.nn_total) if at_steady
-                  else np.concatenate([np.asarray(z, float)
-                                       for z in m.init_zs]) - self.z_ss)
-        else:
-            z0 = np.zeros(1)
-        dz0 = (np.concatenate([d.reshape(-1) for d in self.dzdp0])
-               if self.dz_total else np.zeros(1))
-        # the extrapolation origin (wp, zw) must be a CONSISTENT pair: the
-        # homotopy continuation anchors its path at p = wp where z = zw is
-        # the known solution.  zw starts at the initial operating point
-        # (solution at u = 0, x = x_init), so wp must be the centered p at
-        # exactly that state -- wp = 0 (i.e. u = u_ss, pots at center,
-        # supply on) is a different point and breaks the anchor for every
-        # power-up failure.
-        wp0 = np.zeros(max(self.np_total, 1))
-        if self.np_total and not at_steady:
-            u_c = -self.u_ss  # u = 0 in centered coordinates
-            zc = z0 if self.nn_total else np.zeros(0)
-            off = 0
-            for kk in range(self.nsub):
-                npk = m.np(kk)
-                wp0[off:off + npk] = (
-                    self.dq_bs[kk] @ x0v[:self.nx]
-                    + np.asarray(m.eqs[kk], float) @ u_c
-                    + np.asarray(m.fqprevs[kk], float)
-                    @ zc[:self.nn_total])
-                off += npk
-        return {"x": tile(x0v, max(self.nx, 1)),
-                "xlo": tile(xlo_v, max(self.nx, 1)),
-                "z": tile(z0, max(self.nn_total, 1)),
-                "zw": tile(z0, max(self.nn_total, 1)),
-                "wp": tile(wp0, max(self.np_total, 1)),
-                "dzdp": tile(dz0, max(self.dz_total, 1)),
-                "pmode": tile(np.zeros(max(self.nsub, 1)),
-                              max(self.nsub, 1))}
+        def per_lane(key, n):
+            arr = np.asarray(rows[key], np.float32)   # (nm, n)
+            if arr.shape[1] == 0:
+                arr = np.zeros((nm, n), np.float32)
+            return jnp.asarray(np.ascontiguousarray(
+                arr[midx].T.reshape(-1, S, LANE)))
+
+        return {"x": per_lane("x", max(self.nx, 1)),
+                "xlo": per_lane("xlo", max(self.nx, 1)),
+                "z": per_lane("z", max(self.nn_total, 1)),
+                "zw": per_lane("z", max(self.nn_total, 1)),
+                "wp": per_lane("wp", max(self.np_total, 1)),
+                "dzdp": per_lane("dz", max(self.dz_total, 1)),
+                "pmode": jnp.zeros((max(self.nsub, 1), S, LANE),
+                                   jnp.float32)}
 
     def _lane_tolerances(self, lane_values_centered, S):
         """Per-lane loop tolerance/gate (plain-f32 floor) and final
@@ -1700,22 +1884,30 @@ class FusedRunner:
         gates[:nsub] the loop stagnation gates, gates[nsub:2*nsub] the
         final polish acceptance gates, and gates[2*nsub:] the polish
         target tolerances (compensated floor)."""
-        m = self.model
         L = S * LANE
         nsub = max(self.nsub, 1)
         tol_l = np.full((nsub, L), max(self.tol, 1e-9), np.float32)
         gate_l = np.full((3 * nsub, L), 32.0 * self.tol, np.float32)
         gate_l[2 * nsub:] = max(self.tol, 1e-9)
         lv = np.asarray(lane_values_centered, float)
+        midx = self._lane_model_idx(L)
         for kk in range(self.nsub):
-            q = np.broadcast_to(self.q0_c[kk][:, None],
-                                (len(self.q0_c[kk]), L)).copy()
-            if self.lane_idx and lv.size:
-                eq_lane = np.asarray(m.eqs[kk], float)[:, list(self.lane_idx)]
-                q += np.asarray(m.pexps[kk], float) \
-                    @ (eq_lane @ lv[:, :len(self.lane_idx)].T)
-            floor_l = self._floor_measure(kk, q, comp=False)
-            floor_f = self._floor_measure(kk, q)
+            floor_l = np.zeros(L)
+            floor_f = np.zeros(L)
+            for mi, (m, p) in enumerate(zip(self.models, self._prep)):
+                sel = np.nonzero(midx == mi)[0]
+                if sel.size == 0:
+                    continue
+                q = np.broadcast_to(p["q0"][kk][:, None],
+                                    (len(p["q0"][kk]), sel.size)).copy()
+                if self.lane_idx and lv.size:
+                    eq_lane = np.asarray(m.eqs[kk], float)[
+                        :, list(self.lane_idx)]
+                    q += np.asarray(m.pexps[kk], float) \
+                        @ (eq_lane @ lv[sel, :len(self.lane_idx)].T)
+                floor_l[sel] = self._floor_measure(kk, q, comp=False,
+                                                   model=m)
+                floor_f[sel] = self._floor_measure(kk, q, model=m)
             tol_l[kk] = np.maximum(self.tol, 8.0 * floor_l)
             gate_l[kk] = np.maximum(96.0 * floor_l, 32.0 * self.tol)
             gate_l[nsub + kk] = np.maximum(96.0 * floor_f, 32.0 * self.tol)
@@ -1753,6 +1945,7 @@ class FusedRunner:
         lv = lane_values.T.reshape(nu_l, S, LANE) if nu_l \
             else np.zeros((1, S, LANE), np.float32)
         tol_l, gate_l = self._lane_tolerances(lane_values, S)
+        coef_hi, coef_lo = self._coef_tables(S)
         # trace and execute with x64 disabled: the kernel is float32
         # throughout and weak-typed python floats must not promote anything
         # to float64 (Mosaic rejects 64-bit scalars)
@@ -1772,6 +1965,7 @@ class FusedRunner:
                      iters) = fn(
                         jnp.asarray(u_pad), jnp.asarray(lv),
                         jnp.asarray(tol_l), jnp.asarray(gate_l),
+                        jnp.asarray(coef_hi), jnp.asarray(coef_lo),
                         state["x"], state["xlo"], state["z"], state["zw"],
                         state["wp"], state["dzdp"],
                         state.get("pmode", jnp.zeros(
