@@ -278,5 +278,7 @@ def birdie_model(vol=None, fs=44100, **kw):
     return _model(birdie(vol=vol), fs, **kw)
 
 
-def superover_model(drive=None, tone=None, level=None, sym=False, fs=44100, **kw):
-    return _model(superover(drive=drive, tone=tone, level=level, sym=sym), fs, **kw)
+def superover_model(drive=None, tone=None, level=None, sym=False,
+                    vb_source=False, fs=44100, **kw):
+    return _model(superover(drive=drive, tone=tone, level=level, sym=sym,
+                            vb_source=vb_source), fs, **kw)

@@ -360,7 +360,13 @@ class FusedRunner:
         # ~1e-7 to ~1e-14 of the term scale, which is what bounds the z
         # error at cond(J) spikes (pot end-stops, clipping corners).
         # Requires the compensated q pipeline.
-        self.df_polish = bool(df_polish) and self.compensated
+        # df_polish: True = every polish eval in full double-float physics;
+        # "final" = compensated polish loop + ONE df eval/step at the end
+        # (the df-priced arithmetic paid once per sample); False = comp only
+        if df_polish == "final":
+            self.df_polish = "final" if self.compensated else False
+        else:
+            self.df_polish = bool(df_polish) and self.compensated
         self.lane_idx = tuple(int(i) for i in lane_input_idx)
         # lane-scaled inputs: time-varying rows multiplied by a per-lane
         # constant (e.g. one audio stream fanned out at 4096 input levels)
@@ -1032,12 +1038,20 @@ class FusedRunner:
                     rel_gate_f = self.rel_gate if self.rel_gate is not None \
                         else (2.0e-6 if comp else 4.0e-6)
                     df_pol = self.df_polish
+                    df_final = df_pol == "final"
                     rel_tol_pol = self.rel_tol_polish \
                         if self.rel_tol_polish is not None \
-                        else (3.0e-9 if df_pol
+                        else (3.0e-8 if df_final
+                              else 3.0e-9 if df_pol
                               else (3.0e-8 if comp else 3.0e-7))
                     P_pol = self.polish_iters if comp else 1
-                    pol_mode = "df" if df_pol else comp
+                    # "final": the polish LOOP evaluates compensated (cheap,
+                    # floor ~1e-7 of scale); ONE full-df evaluation+step at
+                    # the polished point then sets the acceptance residual
+                    # and the final z -- one df-priced eval per sample
+                    # instead of one per polish iteration
+                    pol_mode = comp if df_final else ("df" if df_pol
+                                                     else comp)
 
                     def make_newton(piv):
                         def newton_iter(zs, prev_resmax, strikes,
@@ -1275,7 +1289,8 @@ class FusedRunner:
                         def d_body(s):
                             zs_c, _, k = s
                             zl = [zs_c[i1] for i1 in range(nn_k)]
-                            res, J, _, resmax, _ = eval_at(zl, pol_mode)
+                            res, J, _, resmax, _ = eval_at(
+                                zl, "df" if df_pol else pol_mode)
                             ok = resmax < g0
                             dz = _solve_rows(
                                 J, [[res[ai] for ai in range(nn_k)]],
@@ -1317,11 +1332,12 @@ class FusedRunner:
                         return jax.lax.cond(_all_pass(st), lambda a: a,
                                             df_rescue, st)
 
-                    def polish_eval(zs):
+                    def polish_eval(zs, mode=None):
                         """One compensated evaluation + shared elimination
                         X = J \\ [res | Jp] at zs."""
                         z = [zs[i1] for i1 in range(nn_k)]
-                        res_c, J, Jq, resmax_c, scale_c = eval_at(z, pol_mode)
+                        res_c, J, Jq, resmax_c, scale_c = eval_at(
+                            z, pol_mode if mode is None else mode)
                         # relative gates track the live term scale, but
                         # capped at 1e4x their static (operating-point)
                         # anchors: a diverged-but-finite z inflates `scale`
@@ -1461,6 +1477,26 @@ class FusedRunner:
                               jnp.int32(0))
                         (zp, cols, rm, rm1, lg, gf, _, _, pstall, k) = \
                             jax.lax.while_loop(p_cond, p_body, st)
+                        if df_final:
+                            # one full-df evaluation at the comp-polished
+                            # point: its residual is the acceptance
+                            # verdict, its Newton step the final z (the
+                            # classic free last step), its elimination the
+                            # freshest dz/dp sensitivity
+                            (dzf, colsf, rm_df, lgf, gff, _tp, finf) = \
+                                polish_eval(zp, mode="df")
+                            zp = jnp.stack([
+                                jnp.where(finf, zp[ai] - jnp.clip(
+                                    dzf[ai], -zclip[ai], zclip[ai]),
+                                    zp[ai])
+                                for ai in range(nn_k)])
+                            rm = jnp.where(finf, rm_df, rm)
+                            lg = jnp.where(finf, lgf, lg)
+                            gf = jnp.where(finf, gff, gf)
+                            cols = jnp.where(
+                                jnp.broadcast_to(finf, cols.shape),
+                                colsf, cols)
+                            k = k + 1
                         return zp, cols, rm, rm1, lg, gf, pstall, k
 
                     if fast > 0:

@@ -8,14 +8,24 @@ levels through one pedal (--sweep level), or a drive x tone pot grid
 compensated-residual polish; float64 parity is covered by tests/ and the
 scan engine).  Metric: real-time factor per lane; target >= 100x.
 
+Model variants: --model chain (default) adds the reference's stiff vb
+bias source (its own "simplified" superover, test/runtests.jl:751-755),
+which decomposes the nonlinearity into a chain of small subsystems --
+np=(2,1,2) fixed-pots / np=(2,2,2,2) varying -- the fast configuration;
+--model full runs the un-decomposed np=5/nn=7 (fixed) or np=8/nn=11
+(pots) block.
+
 Timing methodology: the TPU here sits behind an asynchronous tunnel whose
 ``block_until_ready`` returns before execution finishes, so single-run
 timings are fiction.  We time N chained runs ending with a forced
 device-to-host fetch and report the amortized per-run cost (run-1 measured
 this wrong and over-reported ~80x).
 
-Parity vs the float64 host reference on the power-up run (the hardest
-stretch: the supply-rail transient) is reported by default.
+Parity: a stratified sample of lanes (4 corners + seeded interior, 16 by
+default) is checked against the float64 host reference -- each parity lane
+gets a FRESH host model (reference power-up semantics) run in a process
+pool -- on both the power-up window and the chained steady window; the JSON
+carries worst and median.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 Diagnostics go to stderr.
@@ -34,6 +44,39 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def _build_model(sweep: str, variant: str, fs: int):
+    from acme_tpu.models import superover_model
+    vb = variant == "chain"
+    if sweep == "pots":
+        return superover_model(drive=None, tone=None, level=1.0, fs=fs,
+                               vb_source=vb)
+    return superover_model(drive=1.0, tone=1.0, level=1.0, fs=fs,
+                           vb_source=vb)
+
+
+def _host_parity_worker(args):
+    """Run the host reference for one parity lane in a fresh process:
+    fresh model (reference power-up semantics), power-up window + chained
+    steady windows."""
+    (sweep, variant, fs, T, reps, level, drive, tone) = args
+    import numpy as np
+
+    import acme_tpu as A
+
+    model = _build_model(sweep, variant, fs)
+    t = np.arange(T)
+    base = 0.2 * np.sin(2 * np.pi * 1000 / fs * t)
+    if sweep == "pots":
+        u = np.vstack([base, np.full(T, drive), np.full(T, tone)])
+    else:
+        u = (base * level)[None, :]
+    y_pw = A.run(model, u)
+    y_st = y_pw
+    for _ in range(reps):
+        y_st = A.run(model, u)
+    return np.asarray(y_pw[0], np.float32), np.asarray(y_st[0], np.float32)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--lanes", type=int, default=4096)
@@ -44,6 +87,9 @@ def main():
     ap.add_argument("--reps", type=int, default=5,
                     help="chained timed runs (amortized)")
     ap.add_argument("--engine", choices=["fused", "scan"], default="fused")
+    ap.add_argument("--model", choices=["chain", "full"], default="chain",
+                    help="chain = reference's simplified (vb-source) "
+                         "decomposed superover; full = un-decomposed")
     ap.add_argument("--sweep", choices=["level", "pots"], default="level",
                     help="lane axis: per-lane input level (L channels "
                          "through one pedal) or drive x tone pot grid "
@@ -51,6 +97,8 @@ def main():
     ap.add_argument("--group-lanes", type=int, default=2048,
                     help="lanes per independent kernel grid group "
                          "(default matches FusedRunner's)")
+    ap.add_argument("--parity-lanes", type=int, default=16,
+                    help="stratified parity sample size (0 disables)")
     ap.add_argument("--smoke", action="store_true",
                     help="tiny CPU-safe smoke run")
     ap.add_argument("--no-parity", action="store_true",
@@ -67,6 +115,7 @@ def main():
         args.engine = "scan"
         args.sweep = "pots"
         args.reps = 1
+        args.parity_lanes = 2
 
     import numpy as np
     import jax
@@ -74,15 +123,10 @@ def main():
     if args.smoke:
         jax.config.update("jax_platforms", "cpu")
 
-    from acme_tpu.models import superover_model
-
     log(f"devices: {jax.devices()}")
     t0 = time.time()
-    if args.sweep == "pots":
-        model = superover_model(drive=None, tone=None, level=1.0, fs=args.fs)
-    else:
-        model = superover_model(drive=1.0, tone=1.0, level=1.0, fs=args.fs)
-    log(f"model build: {time.time()-t0:.1f}s  "
+    model = _build_model(args.sweep, args.model, args.fs)
+    log(f"model build: {time.time()-t0:.1f}s ({args.model}) "
         f"np={[model.np(i) for i in range(model.nsubsystems)]} "
         f"nn={[model.nn(i) for i in range(model.nsubsystems)]} nx={model.nx}")
 
@@ -100,6 +144,7 @@ def main():
         tone = np.tile(np.linspace(0.05, 0.95, b), a)
         lane_values = np.stack([drive, tone], axis=1)
         lane_cfg = dict(lane_input_idx=(1, 2))
+        levels = None
     else:
         # L independent channels through one pedal at graded input levels
         levels = np.linspace(0.1, 2.0, L)
@@ -118,9 +163,12 @@ def main():
         t0 = time.time()
         y0, state, info0 = fr.run(u_time, lane_values)
         _ = np.asarray(y0[:1, :1, :8])  # sync: true completion (tiny fetch)
+        compile_s = time.time() - t0
         f0 = np.asarray(info0.fails)
-        log(f"compile+power-up run: {time.time()-t0:.1f}s  "
+        log(f"compile+power-up run: {compile_s:.1f}s (cold only on first "
+            f"process: persistent compile cache)  "
             f"fails/lane mean {f0.mean():.1f} max {int(f0.max())} of {T}")
+        extras["compile_powerup_s"] = round(compile_s, 1)
         t0 = time.time()
         for _ in range(args.reps):
             y, state, info = fr.run(u_time, lane_values, state=state)
@@ -157,46 +205,60 @@ def main():
         f"aggregate: {rt_per_lane*L:.0f}x realtime   "
         f"({rt_per_lane*L*args.fs/1e6:.1f} Msamples/s)")
 
-    if not args.no_parity:
-        # parity vs the float64 host on the power-up run (hardest stretch:
-        # the supply-rail transient) AND on the steady-state run, for the
-        # middle and extreme lanes
-        import acme_tpu as A
-        Tp = min(T, 4410)
-        dbs, dbs_st = [], []
-        for i in (L // 2, L - 1):
-            if args.sweep == "pots":
-                mh = superover_model(drive=None, tone=None, level=1.0,
-                                     fs=args.fs)
-                uh = np.vstack([u_time, np.full((1, T), drive[i]),
-                                np.full((1, T), tone[i])])
-            else:
-                mh = superover_model(drive=1.0, tone=1.0, level=1.0,
-                                     fs=args.fs)
-                uh = u_time * lane_values[i, 0]
-            yh = A.run(mh, uh)          # power-up window
-            yh_st = A.run(mh, uh)       # chained: steady window
+    if not args.no_parity and args.parity_lanes > 0:
+        # stratified parity sample: 4 corners + seeded interior lanes,
+        # fresh host model per lane, run in parallel worker processes
+        K = min(args.parity_lanes, L)
+        rng = np.random.default_rng(20260817)
+        corners = [0, L - 1, L // 2, 1] if L >= 4 else list(range(L))
+        interior = sorted(set(rng.integers(2, max(L - 2, 3), size=4 * K).tolist())
+                          - set(corners))[:max(0, K - len(corners))]
+        lanes_sel = sorted(set(corners[:K]) | set(interior))
+        jobs = []
+        for i in lanes_sel:
+            jobs.append((args.sweep, args.model, args.fs, T, args.reps,
+                         float(levels[i]) if levels is not None else 1.0,
+                         float(drive[i]) if drive is not None else 1.0,
+                         float(tone[i]) if tone is not None else 1.0))
+        t0 = time.time()
+        if args.smoke:
+            results = [_host_parity_worker(j) for j in jobs]
+        else:
+            import multiprocessing as mp
+            ctx = mp.get_context("spawn")
+            nproc = min(len(jobs), max(2, (os.cpu_count() or 8) - 2))
+            env_save = os.environ.get("PALLAS_AXON_POOL_IPS")
+            os.environ.pop("PALLAS_AXON_POOL_IPS", None)  # workers: CPU only
+            os.environ["JAX_PLATFORMS"] = "cpu"
+            with ctx.Pool(nproc) as pool:
+                results = pool.map(_host_parity_worker, jobs)
+            if env_save is not None:
+                os.environ["PALLAS_AXON_POOL_IPS"] = env_save
+        log(f"host parity refs: {len(jobs)} lanes in {time.time()-t0:.1f}s")
+        dbs_pw, dbs_st = [], []
+        for i, (yh_pw, yh_st) in zip(lanes_sel, results):
             ref = max(float(np.max(np.abs(yh_st))), 1e-12)
-            y0i = np.asarray(y0[i, 0, :Tp])  # fetch just this lane's window
-            db = 20 * np.log10(
-                float(np.max(np.abs(y0i - yh[0, :Tp]))) / ref + 1e-300)
-            dbs.append(db)
-            # the timed loop ran `reps` chained windows after power-up;
-            # chain the host the same number of times for the comparison
-            for _ in range(args.reps - 1):
-                yh_st = A.run(mh, uh)
+            y0i = np.asarray(y0[i, 0, :])
             yi = np.asarray(y[i, 0, :])
+            db_pw = 20 * np.log10(
+                float(np.max(np.abs(y0i - yh_pw))) / ref + 1e-300)
             db_st = 20 * np.log10(
-                float(np.max(np.abs(yi - yh_st[0]))) / ref + 1e-300)
+                float(np.max(np.abs(yi - yh_st))) / ref + 1e-300)
+            dbs_pw.append(db_pw)
             dbs_st.append(db_st)
-            log(f"parity lane {i} vs float64 host: power-up {db:.1f} dB, "
-                f"steady {db_st:.1f} dB")
-        extras["parity_db"] = round(max(dbs), 1)
+            log(f"  lane {i}: power-up {db_pw:.1f} dB, steady {db_st:.1f} dB")
+        extras["parity_db"] = round(max(dbs_pw), 1)
         extras["parity_steady_db"] = round(max(dbs_st), 1)
+        extras["parity_median_db"] = round(float(np.median(dbs_st)), 1)
+        extras["parity_lanes"] = len(lanes_sel)
+        log(f"parity: power-up worst {extras['parity_db']} dB; steady worst "
+            f"{extras['parity_steady_db']} dB median "
+            f"{extras['parity_median_db']} dB over {len(lanes_sel)} lanes")
 
     print(json.dumps({
         "metric": "superover RT-factor per lane @44.1kHz, "
-                  f"{L} lanes ({'drive x tone grid' if args.sweep == 'pots' else 'input-level sweep'}), "
+                  f"{L} lanes ({'drive x tone grid' if args.sweep == 'pots' else 'input-level sweep'}, "
+                  f"{args.model} model), "
                   f"{'fused float32 kernel' if args.engine == 'fused' else 'float64 scan engine'}",
         "value": round(rt_per_lane, 3),
         "unit": "x realtime per lane",

@@ -242,3 +242,15 @@ def test_fused_per_lane_model_matrices():
             assert 20 * np.log10(err / ref) < -100, (r, lane)
     # distinct resistors give distinct outputs
     assert np.max(np.abs(np.asarray(y)[0, 0] - np.asarray(y)[3, 0])) > 1e-3
+
+
+def test_fused_df_final_polish(clipper_ref):
+    """df_polish='final': compensated polish loop + one full-df
+    evaluation/step per sample (the production speed configuration)."""
+    u, y64 = clipper_ref
+    fr = FusedRunner(M.diodeclipper_model(), newton_iters=12, tol=1e-9,
+                     time_chunk=128, interpret=True, df_polish="final")
+    y, st, info = fr.run(u[:, :128], np.zeros((128, 0)))
+    assert int(np.asarray(info.fails).max()) == 0
+    err = np.max(np.abs(np.asarray(y)[0, 0] - y64[0, :128]))
+    assert 20 * np.log10(err / np.max(np.abs(y64))) < -100
