@@ -279,6 +279,7 @@ class FusedRunner:
                  compensated: bool = True, df_state: bool = True,
                  rel_tol: float = None, rel_gate: float = None,
                  rel_tol_polish: float = None, polish_iters: int = 10,
+                 polish_fixed: int = 0,
                  df_polish: bool = True,
                  pivot: bool = True, group_lanes: int = 2048,
                  fast_iters: int = 0, stall_strikes: int = 2,
@@ -355,6 +356,12 @@ class FusedRunner:
         # 3e-8 -> -103 dB measured on the tone=0.05 superover corner.
         self.rel_tol_polish = rel_tol_polish
         self.polish_iters = max(1, int(polish_iters))
+        # polish_fixed > 0: exactly that many python-unrolled masked polish
+        # steps instead of the early-exiting while loop -- no per-iteration
+        # group reduction / scalar branch in the instruction stream, which
+        # measures faster whenever the typical polish depth is close to the
+        # bound (lanes already at their floor just take masked no-ops)
+        self.polish_fixed = max(0, int(polish_fixed))
         # evaluate the polish residual with full double-float element
         # physics (ops/dfmath.py): drops the evaluation noise floor from
         # ~1e-7 to ~1e-14 of the term scale, which is what bounds the z
@@ -1045,6 +1052,7 @@ class FusedRunner:
                               else 3.0e-9 if df_pol
                               else (3.0e-8 if comp else 3.0e-7))
                     P_pol = self.polish_iters if comp else 1
+                    P_fix = self.polish_fixed if comp else 0
                     # "final": the polish LOOP evaluates compensated (cheap,
                     # floor ~1e-7 of scale); ONE full-df evaluation+step at
                     # the polished point then sets the acceptance residual
@@ -1475,8 +1483,15 @@ class FusedRunner:
                               jnp.broadcast_to(gate_v, sh),
                               jnp.broadcast_to(ptol_v, sh), zero, zero,
                               jnp.int32(0))
-                        (zp, cols, rm, rm1, lg, gf, _, _, pstall, k) = \
-                            jax.lax.while_loop(p_cond, p_body, st)
+                        if P_fix:
+                            st_c = st
+                            for _ in range(min(P_fix, P_pol)):
+                                st_c = p_body(st_c)
+                            (zp, cols, rm, rm1, lg, gf, _, _, pstall,
+                             k) = st_c
+                        else:
+                            (zp, cols, rm, rm1, lg, gf, _, _, pstall, k) = \
+                                jax.lax.while_loop(p_cond, p_body, st)
                         if df_final:
                             # one full-df evaluation at the comp-polished
                             # point: its residual is the acceptance
