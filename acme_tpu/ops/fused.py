@@ -284,6 +284,7 @@ class FusedRunner:
                  pivot: bool = True, group_lanes: int = 2048,
                  fast_iters: int = 0, stall_strikes: int = 2,
                  plateau_strikes: int = 6, compile_cache: bool = True,
+                 powerup=None, powerup_samples: int = 4096,
                  mesh=None, mesh_axis: str = "dp"):
         if compile_cache and not interpret:
             enable_compile_cache()
@@ -318,6 +319,26 @@ class FusedRunner:
         # failing lanes fall back to the gated while-loop.  0 disables
         # (default: the blind steps trade ~15 dB of parity for ~20% speed).
         self.fast_iters = int(fast_iters)
+        # Two-phase power-up: the unguarded fast path and the extrapolated
+        # warm start are steady-state optimizations -- during the power-up
+        # transient (supply ramp, hard clipping from silence) they can lock
+        # onto a wrong Newton root that the polish residual cannot reject
+        # (measured: fast_iters=1 gives 3.3x RT but -14 dB power-up parity;
+        # extrapolate=True throws hard-clip lanes onto wrong roots in the
+        # first window).  ``powerup="safe"`` routes the first
+        # ``powerup_samples`` of a fresh-state run() through a sibling
+        # runner with the conservative config (no fast path, no
+        # extrapolation, full gated loop) and hands its state carry to this
+        # runner; chained runs (state != None) always use the fast config.
+        # ``powerup`` may also be a dict of config overrides for the
+        # sibling.  This mirrors the reference's own "learning phase"
+        # semantics (README.md:122-125): the expensive careful solver runs
+        # while the trajectory settles, the cheap one after.
+        if powerup == "safe":
+            powerup = dict(fast_iters=0, extrapolate=False)
+        self.powerup_cfg = dict(powerup) if powerup else None
+        self.powerup_samples = int(powerup_samples)
+        self._pw_runner = None
         # loop exits after this many consecutive stagnant-below-gate
         # iterations (the f32 floor); 2 allows one non-monotone recovery
         self.stall_strikes = int(stall_strikes)
@@ -1966,9 +1987,54 @@ class FusedRunner:
         return (tol_l.reshape(nsub, S, LANE),
                 gate_l.reshape(3 * nsub, S, LANE))
 
+    def _powerup_runner(self):
+        """Sibling runner with the conservative power-up config.  Shares
+        all prepared coefficients/centering (read-only) with self; only the
+        solver-config attributes and the jit cache differ, so building it
+        costs nothing beyond the (persistently cached) kernel compile."""
+        if self._pw_runner is None:
+            import copy
+            r = copy.copy(self)
+            r._jit_cache = {}
+            r._pw_runner = None
+            r.powerup_cfg = None
+            cfg = dict(self.powerup_cfg)
+            if "newton_iters" in cfg:
+                r.K = int(cfg.pop("newton_iters"))
+            if "df_polish" in cfg:
+                v = cfg.pop("df_polish")
+                if v == "final":
+                    r.df_polish = "final" if r.compensated else False
+                else:
+                    r.df_polish = bool(v) and r.compensated
+            for k in ("fast_iters", "polish_iters", "polish_fixed",
+                      "stall_strikes", "plateau_strikes"):
+                if k in cfg:
+                    setattr(r, k, int(cfg.pop(k)))
+            for k in ("extrapolate", "compensated", "pivot", "df_state"):
+                if k in cfg:
+                    setattr(r, k, bool(cfg.pop(k)))
+            if cfg:
+                raise ValueError(f"unknown powerup override(s): "
+                                 f"{sorted(cfg)}")
+            self._pw_runner = r
+        return self._pw_runner
+
     def run(self, u_time, lane_values, state=None):
         """u_time: (nu_t, T); lane_values: (L, nu_l); returns
         (y (L, ny, T), state, fail_counts (L,))."""
+        if state is None and self.powerup_cfg is not None:
+            ut = np.asarray(u_time, float)
+            T0 = ut.shape[1]
+            W = min(self.powerup_samples, T0)
+            pr = self._powerup_runner()
+            if W >= T0:
+                return pr.run(ut, lane_values, state=None)
+            y1, state, info1 = pr.run(ut[:, :W], lane_values, state=None)
+            y2, state, info2 = self.run(ut[:, W:], lane_values, state=state)
+            y = jnp.concatenate([y1, y2], axis=2)
+            return y, state, FusedInfo(fails=info1.fails + info2.fails,
+                                       iters=info1.iters + info2.iters)
         u_time = np.asarray(u_time, float) \
             - self.u_ss[list(self.time_idx)][:, None]
         u_time = u_time.astype(np.float32)

@@ -97,6 +97,17 @@ def main():
     ap.add_argument("--group-lanes", type=int, default=2048,
                     help="lanes per independent kernel grid group "
                          "(default matches FusedRunner's)")
+    ap.add_argument("--fast-iters", type=int, default=1,
+                    help="unguarded Newton steps per sample before the "
+                         "verifying polish (production default 1; 0 = "
+                         "fully gated loop)")
+    ap.add_argument("--df-polish", default="final",
+                    choices=["final", "full", "off"],
+                    help="double-float polish mode (final = one df "
+                         "eval/step per sample, the production default)")
+    ap.add_argument("--no-powerup-phase", action="store_true",
+                    help="disable the safe-config power-up phase on the "
+                         "first (fresh-state) run")
     ap.add_argument("--parity-lanes", type=int, default=16,
                     help="stratified parity sample size (0 disables)")
     ap.add_argument("--smoke", action="store_true",
@@ -156,8 +167,12 @@ def main():
     if args.engine == "fused":
         from acme_tpu.ops.fused import FusedRunner
         t0 = time.time()
+        df_polish = {"final": "final", "full": True, "off": False}[
+            args.df_polish]
         fr = FusedRunner(model, newton_iters=args.newton_iters, tol=1e-9,
                          group_lanes=args.group_lanes, interpret=args.smoke,
+                         fast_iters=args.fast_iters, df_polish=df_polish,
+                         powerup=None if args.no_powerup_phase else "safe",
                          **lane_cfg)
         log(f"runner build (centering + floors): {time.time()-t0:.1f}s")
         t0 = time.time()
@@ -169,6 +184,13 @@ def main():
             f"process: persistent compile cache)  "
             f"fails/lane mean {f0.mean():.1f} max {int(f0.max())} of {T}")
         extras["compile_powerup_s"] = round(compile_s, 1)
+        # untimed warm-up chained run: with the two-phase power-up the
+        # first run compiled different time shapes than the chained runs,
+        # so the full-T fast kernel compiles here, not in the timed loop
+        t0 = time.time()
+        y, state, info = fr.run(u_time, lane_values, state=state)
+        _ = np.asarray(y[:1, :1, :8])
+        log(f"warmup chained run: {time.time()-t0:.1f}s")
         t0 = time.time()
         for _ in range(args.reps):
             y, state, info = fr.run(u_time, lane_values, state=state)

@@ -254,3 +254,52 @@ def test_fused_df_final_polish(clipper_ref):
     assert int(np.asarray(info.fails).max()) == 0
     err = np.max(np.abs(np.asarray(y)[0, 0] - y64[0, :128]))
     assert 20 * np.log10(err / np.max(np.abs(y64))) < -100
+
+
+def test_fused_two_phase_powerup(clipper_ref):
+    """powerup="safe": first ``powerup_samples`` of a fresh-state run go
+    through the conservative sibling config, then the state is handed to
+    the fast config -- output must be seamless across the boundary and a
+    chained run must use the fast path only."""
+    u, y64 = clipper_ref
+    fr = FusedRunner(M.diodeclipper_model(), newton_iters=12, tol=1e-9,
+                     time_chunk=128, interpret=True, compensated=False,
+                     fast_iters=1, powerup="safe", powerup_samples=128)
+    y, st, info = fr.run(u[:, :256], np.zeros((128, 0)))
+    assert np.asarray(y).shape[2] == 256
+    err = np.max(np.abs(np.asarray(y)[0, 0] - y64[0, :256]))
+    assert 20 * np.log10(err / np.max(np.abs(y64))) < -100
+    # chained run: fast config continues from the carried state
+    y2, st, _ = fr.run(u[:, 256:], np.zeros((128, 0)), state=st)
+    err2 = np.max(np.abs(np.asarray(y2)[0, 0] - y64[0, 256:]))
+    assert 20 * np.log10(err2 / np.max(np.abs(y64))) < -100
+
+
+def test_fused_two_phase_short_run(clipper_ref):
+    """Fresh run shorter than powerup_samples: entirely the safe config."""
+    u, y64 = clipper_ref
+    fr = FusedRunner(M.diodeclipper_model(), newton_iters=12, tol=1e-9,
+                     time_chunk=128, interpret=True, compensated=False,
+                     fast_iters=1, powerup="safe", powerup_samples=512)
+    y, st, info = fr.run(u[:, :128], np.zeros((128, 0)))
+    err = np.max(np.abs(np.asarray(y)[0, 0] - y64[0, :128]))
+    assert 20 * np.log10(err / np.max(np.abs(y64))) < -100
+
+
+def test_fused_powerup_unknown_override_rejected():
+    fr = FusedRunner(M.diodeclipper_model(), interpret=True,
+                     compensated=False, powerup=dict(bogus=1))
+    with pytest.raises(ValueError, match="unknown powerup override"):
+        fr._powerup_runner()
+
+
+def test_fused_polish_fixed(clipper_ref):
+    """polish_fixed: unrolled masked polish steps instead of the
+    early-exit while loop; same answer."""
+    u, y64 = clipper_ref
+    fr = FusedRunner(M.diodeclipper_model(), newton_iters=12, tol=1e-9,
+                     time_chunk=128, interpret=True, polish_fixed=3)
+    y, st, info = fr.run(u[:, :128], np.zeros((128, 0)))
+    assert int(np.asarray(info.fails).max()) == 0
+    err = np.max(np.abs(np.asarray(y)[0, 0] - y64[0, :128]))
+    assert 20 * np.log10(err / np.max(np.abs(y64))) < -100
