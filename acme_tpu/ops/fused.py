@@ -282,7 +282,8 @@ class FusedRunner:
                  polish_fixed: int = 0,
                  df_polish: bool = True,
                  pivot: bool = True, group_lanes: int = 2048,
-                 fast_iters: int = 0, stall_strikes: int = 2,
+                 fast_iters: int = 0, fast_verify: str = "group",
+                 stall_strikes: int = 2,
                  plateau_strikes: int = 6, compile_cache: bool = True,
                  powerup=None, powerup_samples: int = 4096,
                  mesh=None, mesh_axis: str = "dp"):
@@ -319,6 +320,18 @@ class FusedRunner:
         # failing lanes fall back to the gated while-loop.  0 disables
         # (default: the blind steps trade ~15 dB of parity for ~20% speed).
         self.fast_iters = int(fast_iters)
+        # fast-path verification policy when any lane fails the loose gate:
+        #   "group": re-run the robust path for the whole group and keep
+        #            its result for every lane (round-2 behavior);
+        #   "merge": re-run the robust path but keep the redone result only
+        #            for lanes that failed the gate;
+        #   "always": unconditionally run the robust path every sample
+        #             (debug/diagnosis: removes the group-composition
+        #             coupling entirely at full cost).
+        if fast_verify not in ("group", "merge", "always"):
+            raise ValueError(f"fast_verify must be group|merge|always, "
+                             f"got {fast_verify!r}")
+        self.fast_verify = fast_verify
         # Two-phase power-up: the unguarded fast path and the extrapolated
         # warm start are steady-state optimizations -- during the power-up
         # transient (supply ramp, hard clipping from silence) they can lock
@@ -390,9 +403,12 @@ class FusedRunner:
         # Requires the compensated q pipeline.
         # df_polish: True = every polish eval in full double-float physics;
         # "final" = compensated polish loop + ONE df eval/step at the end
-        # (the df-priced arithmetic paid once per sample); False = comp only
-        if df_polish == "final":
-            self.df_polish = "final" if self.compensated else False
+        # (the df-priced arithmetic paid once per sample);
+        # "plain_final" = PLAIN-f32 polish loop (cheapest trips, target at
+        # the plain evaluation floor ~3e-7 * scale) + the same single df
+        # eval/step verdict; False = comp only
+        if df_polish in ("final", "plain_final"):
+            self.df_polish = df_polish if self.compensated else False
         else:
             self.df_polish = bool(df_polish) and self.compensated
         self.lane_idx = tuple(int(i) for i in lane_input_idx)
@@ -1066,10 +1082,12 @@ class FusedRunner:
                     rel_gate_f = self.rel_gate if self.rel_gate is not None \
                         else (2.0e-6 if comp else 4.0e-6)
                     df_pol = self.df_polish
-                    df_final = df_pol == "final"
+                    df_final = df_pol in ("final", "plain_final")
+                    plain_pol = df_pol == "plain_final"
                     rel_tol_pol = self.rel_tol_polish \
                         if self.rel_tol_polish is not None \
-                        else (3.0e-8 if df_final
+                        else (3.0e-7 if plain_pol
+                              else 3.0e-8 if df_final
                               else 3.0e-9 if df_pol
                               else (3.0e-8 if comp else 3.0e-7))
                     P_pol = self.polish_iters if comp else 1
@@ -1079,8 +1097,8 @@ class FusedRunner:
                     # the polished point then sets the acceptance residual
                     # and the final z -- one df-priced eval per sample
                     # instead of one per polish iteration
-                    pol_mode = comp if df_final else ("df" if df_pol
-                                                     else comp)
+                    pol_mode = False if plain_pol else \
+                        (comp if df_final else ("df" if df_pol else comp))
 
                     def make_newton(piv):
                         def newton_iter(zs, prev_resmax, strikes,
@@ -1361,9 +1379,16 @@ class FusedRunner:
                         return jax.lax.cond(_all_pass(st), lambda a: a,
                                             df_rescue, st)
 
-                    def polish_eval(zs, mode=None):
+                    def polish_eval(zs, mode=None, light=False):
                         """One compensated evaluation + shared elimination
-                        X = J \\ [res | Jp] at zs."""
+                        X = J \\ [res | Jp] at zs.  ``light`` drops the
+                        sensitivity columns and the solve refinement --
+                        used for intermediate loop steps when a df_final
+                        eval follows: its columns supersede the loop's
+                        (installed whenever it is finite), and
+                        intermediate Newton DIRECTIONS only need a few
+                        digits, so the np_k extra RHS and the doubled
+                        refined solve are pure waste there."""
                         z = [zs[i1] for i1 in range(nn_k)]
                         res_c, J, Jq, resmax_c, scale_c = eval_at(
                             z, pol_mode if mode is None else mode)
@@ -1379,8 +1404,20 @@ class FusedRunner:
                                               gate_v, 1e4 * gate_v)
                         tol_pol = jnp.clip(rel_tol_pol * scale_c,
                                            ptol_v, 1e4 * ptol_v)
+                        # the plain Newton loop's own "done" tolerance at
+                        # this point -- the fast path's keep criterion:
+                        # the polish's entry contract is "z at the plain
+                        # f32 Newton floor" (that is where the gated loop
+                        # hands over), NOT merely below the loose gate.
+                        # Lanes between the two need real gated Newton
+                        # steps first; handing them to the polish alone
+                        # strands them mid-descent (the non-contraction
+                        # freeze is designed for post-solve refinement)
+                        # and the error accumulates sample over sample.
+                        ltol_eff = jnp.clip(rel_tol_l * scale_c,
+                                            ltol_v, 1e4 * ltol_v)
                         rhs = [[res_c[ai] for ai in range(nn_k)]]
-                        if extrap and np_k:
+                        if extrap and np_k and not light:
                             for bi in range(np_k):
                                 col = []
                                 for ai in range(nn_k):
@@ -1395,19 +1432,29 @@ class FusedRunner:
                                     col.append(acc if acc is not None
                                                else jnp.zeros_like(z[0]))
                                 rhs.append(col)
-                        X = _solve_rows(J, rhs, refine=refine, pivot=True)
+                        X = _solve_rows(J, rhs, refine=0 if light else refine,
+                                        pivot=True)
                         dz = X[0]
                         fin = jnp.isfinite(resmax_c)
                         for ai in range(nn_k):
                             fin = fin & jnp.isfinite(dz[ai])
-                        if extrap and np_k:
+                        if extrap and np_k and not light:
                             cols = jnp.stack([jnp.stack(X[1 + bi])
                                               for bi in range(np_k)])
+                        elif extrap and np_k:
+                            # NaN placeholder: if the df_final eval that
+                            # normally supersedes these is non-finite, the
+                            # |cols| < 1e6 install bound rejects NaN and
+                            # the previous sensitivity is kept (installing
+                            # zeros would silently degrade the next warm
+                            # start)
+                            cols = jnp.full((np_k, nn_k) + zs.shape[1:],
+                                            jnp.nan, jnp.float32)
                         else:
                             cols = jnp.zeros((1,) + zs.shape[1:],
                                              jnp.float32)
                         return (dz, cols, resmax_c, lgate_eff, gate_eff_f,
-                                tol_pol, fin)
+                                tol_pol, ltol_eff, fin)
 
                     def polish_all(zs):
                         """Iterated polish: compensated-residual,
@@ -1435,17 +1482,18 @@ class FusedRunner:
                             cols0 = jnp.zeros((1,) + sh, jnp.float32)
 
                         def p_cond(st):
-                            _, _, rm, _, _, _, tp, pf, _, k = st
+                            _, _, rm, _, _, _, _, tp, pf, _, k = st
                             return jnp.logical_and(
                                 k < P_pol,
                                 jnp.logical_not(
                                     jnp.all((rm < tp) | (pf > 0.5))))
 
                         def p_body(st):
-                            (zs_c, _, rm_prev, rm1, _, _, _, pfrz, pstall,
-                             k) = st
+                            (zs_c, _, rm_prev, rm1, tl1, _, _, _, pfrz,
+                             pstall, k) = st
                             (dz, cols, resmax_c, lgate_eff, gate_eff_f,
-                             tol_pol, fin) = polish_eval(zs_c)
+                             tol_pol, ltol_eff, fin) = polish_eval(
+                                 zs_c, light=df_final)
                             # past the mandatory first step, a lane keeps
                             # stepping only while genuinely contracting
                             # (Newton in its basin contracts far more than
@@ -1494,12 +1542,14 @@ class FusedRunner:
                                     zs_c[ai])
                                 for ai in range(nn_k)])
                             rm1 = jnp.where(k == 0, resmax_c, rm1)
-                            return (zp, cols, resmax_c, rm1, lgate_eff,
+                            tl1 = jnp.where(k == 0, ltol_eff, tl1)
+                            return (zp, cols, resmax_c, rm1, tl1, lgate_eff,
                                     gate_eff_f, tol_pol, pfrz, pstall,
                                     k + 1)
 
                         zero = jnp.zeros(sh, jnp.float32)
                         st = (zs, cols0, big, big,
+                              jnp.broadcast_to(ltol_v, sh),
                               jnp.broadcast_to(lgate_v, sh),
                               jnp.broadcast_to(gate_v, sh),
                               jnp.broadcast_to(ptol_v, sh), zero, zero,
@@ -1508,10 +1558,11 @@ class FusedRunner:
                             st_c = st
                             for _ in range(min(P_fix, P_pol)):
                                 st_c = p_body(st_c)
-                            (zp, cols, rm, rm1, lg, gf, _, _, pstall,
+                            (zp, cols, rm, rm1, tl1, lg, gf, _, _, pstall,
                              k) = st_c
                         else:
-                            (zp, cols, rm, rm1, lg, gf, _, _, pstall, k) = \
+                            (zp, cols, rm, rm1, tl1, lg, gf, _, _, pstall,
+                             k) = \
                                 jax.lax.while_loop(p_cond, p_body, st)
                         if df_final:
                             # one full-df evaluation at the comp-polished
@@ -1519,7 +1570,8 @@ class FusedRunner:
                             # verdict, its Newton step the final z (the
                             # classic free last step), its elimination the
                             # freshest dz/dp sensitivity
-                            (dzf, colsf, rm_df, lgf, gff, _tp, finf) = \
+                            (dzf, colsf, rm_df, lgf, gff, _tp, _tl,
+                             finf) = \
                                 polish_eval(zp, mode="df")
                             zp = jnp.stack([
                                 jnp.where(finf, zp[ai] - jnp.clip(
@@ -1533,7 +1585,7 @@ class FusedRunner:
                                 jnp.broadcast_to(finf, cols.shape),
                                 colsf, cols)
                             k = k + 1
-                        return zp, cols, rm, rm1, lg, gf, pstall, k
+                        return zp, cols, rm, rm1, tl1, lg, gf, pstall, k
 
                     if fast > 0:
                         # unguarded fast path: ``fast`` plain Newton steps
@@ -1556,37 +1608,82 @@ class FusedRunner:
                                 jnp.where(okf, zc[ai] - jnp.clip(
                                     dzf[ai], -zclip[ai], zclip[ai]), zc[ai])
                                 for ai in range(nn_k)])
-                        (zp, cols, resmax_c, rm1, lgate_eff, gate_eff_f,
-                         pstall, kp) = polish_all(zs_cur)
+                        (zp, cols, resmax_c, rm1, tl1, lgate_eff,
+                         gate_eff_f, pstall, kp) = polish_all(zs_cur)
                         itv0 = jnp.full(zp.shape[1:], float(fast),
                                         jnp.float32) \
                             + kp.astype(jnp.float32)
+                        # keep criterion: the polish's HONEST verdict.  A
+                        # lane passes if its final (compensated/df)
+                        # residual is below the acceptance gate, or if it
+                        # floor-stalled AFTER entering the polish at the
+                        # plain Newton loop's own "done" tolerance (the
+                        # robust path's entry contract).  The floor-stall
+                        # latch alone is NOT a certificate here: it
+                        # declares "nothing below this exists in f32",
+                        # which only holds at the floor -- judging the
+                        # fast result by it mid-descent was a measured
+                        # disaster (lanes in the band between loop
+                        # tolerance and gate were accepted stranded, the
+                        # per-sample error accumulated until the lane
+                        # walked off the solution branch: +dB parity,
+                        # periodic fails, with the victim set a function
+                        # of group composition only through how often
+                        # group-mates triggered the rescuing redo).
+                        # Judging by the pre-polish residual alone
+                        # (rm1 < tl1) is safe but was measured ~20x too
+                        # strict: one unguarded Newton step rarely lands
+                        # at the done-tolerance, so nearly every sample
+                        # paid the redo and the fast path lost its value.
+                        ok1 = (resmax_c < gate_eff_f) \
+                            | ((rm1 < tl1) & (pstall > 0.5))
 
                         def keep(args):
-                            # the fast path's verification residual rm1 is
-                            # PRE-polish (one step short of the floor), so
-                            # convergence is judged against the looser loop
-                            # gate: below it, the polish is guaranteed to
-                            # finish the job (two-tier contract)
                             zs_c, zp, cols, rm, gf, ps, itv = args
                             return zp, cols, rm, gf, ps, itv
 
                         def redo(args):
-                            zs_c, _, _, _, _, _, itv = args
+                            zs_c, zp_k, cols_k, rm_k, gf_k, ps_k, itv = args
                             zs4, r4, g4, itv4, _ = full_solve(zs_c)
-                            (zp2, cols2, rm2, _, _, gf2, ps2,
+                            (zp2, cols2, rm2, _, _, _, gf2, ps2,
                              kp2) = polish_all(zs4)
+                            if self.fast_verify == "merge":
+                                # keep the redone result only for lanes
+                                # that failed the keep criterion; passing
+                                # lanes' first-polish result is identical
+                                # to what the redo would compute (same
+                                # entry point, act-masked loop), so the
+                                # merge is exact for them
+                                need = jnp.logical_not(ok1)
+                                return (
+                                    jnp.where(jnp.broadcast_to(
+                                        need, zp2.shape), zp2, zp_k),
+                                    jnp.where(jnp.broadcast_to(
+                                        need, cols2.shape), cols2, cols_k),
+                                    jnp.where(need, rm2, rm_k),
+                                    jnp.where(need, gf2, gf_k),
+                                    jnp.where(need, ps2, ps_k),
+                                    itv + jnp.where(
+                                        need,
+                                        itv4 + kp2.astype(jnp.float32),
+                                        0.0))
                             return (zp2, cols2, rm2, gf2, ps2,
                                     itv + itv4 + kp2.astype(jnp.float32))
 
-                        (zp, cols, resmax_c, gate_eff_f, pstall,
-                         itv_t) = jax.lax.cond(
-                            jnp.all(rm1 < lgate_eff), keep, redo,
-                            (zs_cur, zp, cols, resmax_c, gate_eff_f,
-                             pstall, itv0))
+                        if self.fast_verify == "always":
+                            (zp, cols, resmax_c, gate_eff_f, pstall,
+                             itv_t) = redo(
+                                (zs_cur, zp, cols, resmax_c, gate_eff_f,
+                                 pstall, itv0))
+                        else:
+                            (zp, cols, resmax_c, gate_eff_f, pstall,
+                             itv_t) = jax.lax.cond(
+                                jnp.all(ok1), keep, redo,
+                                (zs_cur, zp, cols, resmax_c, gate_eff_f,
+                                 pstall, itv0))
                     else:
                         zs4, r4, g4, itv4, _ = full_solve(z0s)
-                        (zp, cols, resmax_c, _, _, gate_eff_f, pstall,
+                        (zp, cols, resmax_c, _, _, _, gate_eff_f, pstall,
                          kp) = polish_all(zs4)
                         itv_t = itv4 + kp.astype(jnp.float32)
 
@@ -1650,8 +1747,16 @@ class FusedRunner:
                                 dzdp_s[di] = jnp.where(
                                     okd, -cols[i2, i1], dzdp_s[di])
                     else:
+                        # keep the position origin (zw, wp) fresh even
+                        # without extrapolation: the state may be handed to
+                        # an extrapolating sibling runner (two-phase
+                        # power-up), and a stale wp would make its first
+                        # dp = p - wp huge -- a garbage warm start that
+                        # fails every sample after the handoff.
                         for i1 in range(nn_k):
                             zw_s[o + i1] = jnp.where(ok, z[i1], zw_s[o + i1])
+                        for i2 in range(np_k):
+                            wp_s[po + i2] = jnp.where(ok, p[i2], wp_s[po + i2])
 
                 # output row and state update (ref ACME.jl:699-714).
                 # With df_state the state is an unevaluated (hi, lo) pair
@@ -1727,8 +1832,13 @@ class FusedRunner:
                     zw_out[...] = zw_s[...]
                 if np_total:
                     wp_out[...] = wp_s[...]
-                if dz_total and extrap:
-                    dzdp_out[...] = dzdp_s[...]
+                if dz_total:
+                    # without extrapolation the sensitivity is untouched;
+                    # pass the input through (never leave the out-buffer
+                    # uninitialized -- run() stores it into the state dict
+                    # and a sibling extrapolating runner would read VMEM
+                    # garbage after a two-phase power-up handoff)
+                    dzdp_out[...] = dzdp_s[...] if extrap else dzdp_in[...]
                 pmode_out[...] = pmode_s[...]
                 fail_out[...] = fail_s[...]
                 iters_out[...] = iters_s[...]
@@ -2003,10 +2113,12 @@ class FusedRunner:
                 r.K = int(cfg.pop("newton_iters"))
             if "df_polish" in cfg:
                 v = cfg.pop("df_polish")
-                if v == "final":
-                    r.df_polish = "final" if r.compensated else False
+                if v in ("final", "plain_final"):
+                    r.df_polish = v if r.compensated else False
                 else:
                     r.df_polish = bool(v) and r.compensated
+            if "fast_verify" in cfg:
+                r.fast_verify = str(cfg.pop("fast_verify"))
             for k in ("fast_iters", "polish_iters", "polish_fixed",
                       "stall_strikes", "plateau_strikes"):
                 if k in cfg:

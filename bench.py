@@ -101,10 +101,11 @@ def main():
                     help="unguarded Newton steps per sample before the "
                          "verifying polish (production default 1; 0 = "
                          "fully gated loop)")
-    ap.add_argument("--df-polish", default="final",
-                    choices=["final", "full", "off"],
-                    help="double-float polish mode (final = one df "
-                         "eval/step per sample, the production default)")
+    ap.add_argument("--df-polish", default="plain_final",
+                    choices=["plain_final", "final", "full", "off"],
+                    help="double-float polish mode (plain_final = plain-f32 "
+                         "polish loop + one df eval/step per sample, the "
+                         "production default)")
     ap.add_argument("--no-powerup-phase", action="store_true",
                     help="disable the safe-config power-up phase on the "
                          "first (fresh-state) run")
@@ -167,8 +168,8 @@ def main():
     if args.engine == "fused":
         from acme_tpu.ops.fused import FusedRunner
         t0 = time.time()
-        df_polish = {"final": "final", "full": True, "off": False}[
-            args.df_polish]
+        df_polish = {"plain_final": "plain_final", "final": "final",
+                     "full": True, "off": False}[args.df_polish]
         fr = FusedRunner(model, newton_iters=args.newton_iters, tol=1e-9,
                          group_lanes=args.group_lanes, interpret=args.smoke,
                          fast_iters=args.fast_iters, df_polish=df_polish,

@@ -303,3 +303,51 @@ def test_fused_polish_fixed(clipper_ref):
     assert int(np.asarray(info.fails).max()) == 0
     err = np.max(np.abs(np.asarray(y)[0, 0] - y64[0, :128]))
     assert 20 * np.log10(err / np.max(np.abs(y64))) < -100
+
+def test_fused_plain_final_polish(clipper_ref):
+    """df_polish='plain_final': plain-f32 polish loop + one full-df
+    evaluation/step per sample (the fastest full-parity configuration)."""
+    u, y64 = clipper_ref
+    fr = FusedRunner(M.diodeclipper_model(), newton_iters=12, tol=1e-9,
+                     time_chunk=128, interpret=True,
+                     df_polish="plain_final")
+    y, st, info = fr.run(u[:, :128], np.zeros((128, 0)))
+    assert int(np.asarray(info.fails).max()) == 0
+    err = np.max(np.abs(np.asarray(y)[0, 0] - y64[0, :128]))
+    assert 20 * np.log10(err / np.max(np.abs(y64))) < -100
+
+
+def test_fused_two_phase_extrapolating_handoff(clipper_ref):
+    """The safe phase runs with extrapolate=False; the steady config
+    extrapolates.  The handed-over state must carry a FRESH wp origin and
+    a valid dzdp (regression: the non-extrapolating kernel used to leave
+    wp at its initial value and dzdp_out uninitialized, so the fast
+    config's first extrapolated warm start was garbage and every sample
+    after the handoff failed)."""
+    u, y64 = clipper_ref
+    fr = FusedRunner(M.diodeclipper_model(), newton_iters=12, tol=1e-9,
+                     time_chunk=128, interpret=True, fast_iters=1,
+                     powerup="safe", powerup_samples=128)
+    y, st, info = fr.run(u[:, :256], np.zeros((128, 0)))
+    assert int(np.asarray(info.fails).max()) == 0
+    err = np.max(np.abs(np.asarray(y)[0, 0] - y64[0, :256]))
+    assert 20 * np.log10(err / np.max(np.abs(y64))) < -100
+
+
+@pytest.mark.parametrize("mode", ["group", "merge", "always"])
+def test_fused_fast_verify_modes(clipper_ref, mode):
+    """All three fast-path verification policies give full-parity output
+    on a clean run."""
+    u, y64 = clipper_ref
+    fr = FusedRunner(M.diodeclipper_model(), newton_iters=12, tol=1e-9,
+                     time_chunk=128, interpret=True, fast_iters=1,
+                     fast_verify=mode)
+    y, st, info = fr.run(u[:, :128], np.zeros((128, 0)))
+    err = np.max(np.abs(np.asarray(y)[0, 0] - y64[0, :128]))
+    assert 20 * np.log10(err / np.max(np.abs(y64))) < -100
+
+
+def test_fused_fast_verify_rejected():
+    with pytest.raises(ValueError, match="fast_verify"):
+        FusedRunner(M.diodeclipper_model(), interpret=True,
+                    compensated=False, fast_verify="bogus")
