@@ -283,7 +283,7 @@ class FusedRunner:
                  df_polish: bool = True,
                  pivot: bool = True, group_lanes: int = 2048,
                  fast_iters: int = 0, fast_verify: str = "group",
-                 stall_strikes: int = 2,
+                 fast_keep: str = "gate", stall_strikes: int = 2,
                  plateau_strikes: int = 6, compile_cache: bool = True,
                  powerup=None, powerup_samples: int = 4096,
                  mesh=None, mesh_axis: str = "dp"):
@@ -332,6 +332,14 @@ class FusedRunner:
             raise ValueError(f"fast_verify must be group|merge|always, "
                              f"got {fast_verify!r}")
         self.fast_verify = fast_verify
+        # fast-path pass threshold: "gate" = acceptance gate; "tol" = the
+        # polish target tolerance (tight -- use with polish_fixed so
+        # small-signal lanes keep full relative parity; lanes above it
+        # fall into the redo)
+        if fast_keep not in ("gate", "tol"):
+            raise ValueError(f"fast_keep must be gate|tol, "
+                             f"got {fast_keep!r}")
+        self.fast_keep = fast_keep
         # Two-phase power-up: the unguarded fast path and the extrapolated
         # warm start are steady-state optimizations -- during the power-up
         # transient (supply ramp, hard clipping from silence) they can lock
@@ -1558,10 +1566,10 @@ class FusedRunner:
                             st_c = st
                             for _ in range(min(P_fix, P_pol)):
                                 st_c = p_body(st_c)
-                            (zp, cols, rm, rm1, tl1, lg, gf, _, _, pstall,
+                            (zp, cols, rm, rm1, tl1, lg, gf, tp, _, pstall,
                              k) = st_c
                         else:
-                            (zp, cols, rm, rm1, tl1, lg, gf, _, _, pstall,
+                            (zp, cols, rm, rm1, tl1, lg, gf, tp, _, pstall,
                              k) = \
                                 jax.lax.while_loop(p_cond, p_body, st)
                         if df_final:
@@ -1570,9 +1578,10 @@ class FusedRunner:
                             # verdict, its Newton step the final z (the
                             # classic free last step), its elimination the
                             # freshest dz/dp sensitivity
-                            (dzf, colsf, rm_df, lgf, gff, _tp, _tl,
+                            (dzf, colsf, rm_df, lgf, gff, tpf, _tl,
                              finf) = \
                                 polish_eval(zp, mode="df")
+                            tp = jnp.where(finf, tpf, tp)
                             zp = jnp.stack([
                                 jnp.where(finf, zp[ai] - jnp.clip(
                                     dzf[ai], -zclip[ai], zclip[ai]),
@@ -1585,7 +1594,8 @@ class FusedRunner:
                                 jnp.broadcast_to(finf, cols.shape),
                                 colsf, cols)
                             k = k + 1
-                        return zp, cols, rm, rm1, tl1, lg, gf, pstall, k
+                        return (zp, cols, rm, rm1, tl1, lg, gf, tp, pstall,
+                                k)
 
                     if fast > 0:
                         # unguarded fast path: ``fast`` plain Newton steps
@@ -1609,7 +1619,8 @@ class FusedRunner:
                                     dzf[ai], -zclip[ai], zclip[ai]), zc[ai])
                                 for ai in range(nn_k)])
                         (zp, cols, resmax_c, rm1, tl1, lgate_eff,
-                         gate_eff_f, pstall, kp) = polish_all(zs_cur)
+                         gate_eff_f, tol_pf, pstall, kp) = \
+                            polish_all(zs_cur)
                         itv0 = jnp.full(zp.shape[1:], float(fast),
                                         jnp.float32) \
                             + kp.astype(jnp.float32)
@@ -1635,7 +1646,18 @@ class FusedRunner:
                         # strict: one unguarded Newton step rarely lands
                         # at the done-tolerance, so nearly every sample
                         # paid the redo and the fast path lost its value.
-                        ok1 = (resmax_c < gate_eff_f) \
+                        # fast_keep selects the pass threshold: "gate"
+                        # accepts at the acceptance gate (matches the
+                        # reference's warn semantics); "tol" accepts only
+                        # at the polish target tolerance -- the level the
+                        # while-loop actually achieves before stopping --
+                        # which keeps small-signal lanes (whose own output
+                        # is far below the absolute gate anchors) at full
+                        # relative parity when the polish trip count is
+                        # fixed (polish_fixed > 0)
+                        keep_thr = tol_pf if self.fast_keep == "tol" \
+                            else gate_eff_f
+                        ok1 = (resmax_c < keep_thr) \
                             | ((rm1 < tl1) & (pstall > 0.5))
 
                         def keep(args):
@@ -1645,7 +1667,7 @@ class FusedRunner:
                         def redo(args):
                             zs_c, zp_k, cols_k, rm_k, gf_k, ps_k, itv = args
                             zs4, r4, g4, itv4, _ = full_solve(zs_c)
-                            (zp2, cols2, rm2, _, _, _, gf2, ps2,
+                            (zp2, cols2, rm2, _, _, _, gf2, _, ps2,
                              kp2) = polish_all(zs4)
                             if self.fast_verify == "merge":
                                 # keep the redone result only for lanes
@@ -1683,8 +1705,8 @@ class FusedRunner:
                                  pstall, itv0))
                     else:
                         zs4, r4, g4, itv4, _ = full_solve(z0s)
-                        (zp, cols, resmax_c, _, _, _, gate_eff_f, pstall,
-                         kp) = polish_all(zs4)
+                        (zp, cols, resmax_c, _, _, _, gate_eff_f, _,
+                         pstall, kp) = polish_all(zs4)
                         itv_t = itv4 + kp.astype(jnp.float32)
 
                     z = [zp[i1] for i1 in range(nn_k)]
@@ -2119,6 +2141,8 @@ class FusedRunner:
                     r.df_polish = bool(v) and r.compensated
             if "fast_verify" in cfg:
                 r.fast_verify = str(cfg.pop("fast_verify"))
+            if "fast_keep" in cfg:
+                r.fast_keep = str(cfg.pop("fast_keep"))
             for k in ("fast_iters", "polish_iters", "polish_fixed",
                       "stall_strikes", "plateau_strikes"):
                 if k in cfg:
