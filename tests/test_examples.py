@@ -249,6 +249,43 @@ def test_decomposition_shape_fixtures():
         == (2, 2, 2, 4)                                   # runtests.jl:786-791
 
 
+@pytest.mark.xfail(strict=True, reason="multi-root circuit: the chain "
+                   "decomposition tracks a different (valid) root than the "
+                   "monolithic solve — same in the reference, which marks "
+                   "the simplified model's steady state @test_broken "
+                   "(test/runtests.jl:763-764)")
+def test_superover_chain_decomposition_output_invariance():
+    """nldecompose does not change outputs when the per-sample solution is
+    unique (asserted on the 3-diode circuit mirroring
+    test/runtests.jl:267-292 in test_circuits_host.py).  The vb-source
+    superover is NOT such a circuit: measured on the f64 host oracle, the
+    decomposed np=(2,1,2) chain and the monolithic np=(5,) model settle
+    onto different periodic orbits (plateau diff ~0.17 of a ~1.3 peak,
+    persisting from identical near-zero initial states), i.e. the global
+    system has multiple roots per sample and the two solve orders track
+    different ones.  The monolithic orbit matches the full (unpinned-vb)
+    superover to ~0.02; the reference has the same behavior and disables
+    its steady check for exactly this model.  strict xfail: if this ever
+    starts passing, the root structure changed — investigate."""
+    from fractions import Fraction
+
+    def build(**kw):
+        circ = M.superover(drive=1.0, tone=1.0, level=1.0, vb_source=True)
+        return A.DiscreteModel(circ, Fraction(1, 44100), **kw)
+
+    m_chain = build()
+    m_mono = build(decompose_nonlinearity=False)
+    assert tuple(m_chain.np(k) for k in range(m_chain.nsubsystems)) \
+        == (2, 1, 2)
+    assert tuple(m_mono.np(k) for k in range(m_mono.nsubsystems)) == (5,)
+    T = 600
+    u = 0.4 * np.sin(2 * np.pi * 1000 / 44100 * np.arange(T))[None, :]
+    y_chain = A.run(m_chain, u)
+    y_mono = A.run(m_mono, u)
+    ref = np.max(np.abs(y_mono))
+    assert np.max(np.abs(y_chain - y_mono)) < 1e-8 * max(ref, 1.0)
+
+
 @pytest.mark.xfail(strict=False, reason="chain-decomposed sym superover "
                    "steady state is broken in the reference too "
                    "(test/runtests.jl:763-764 @test_broken)")
