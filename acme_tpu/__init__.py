@@ -37,7 +37,7 @@ from .elements import (bjt, capacitor, currentprobe, currentsource, diode,  # no
                        transformer, voltageprobe, voltagesource)
 from .model import DiscreteModel  # noqa: E402
 from .runtime import (ModelRunner, linearize, run, steadystate,  # noqa: E402
-                      steadystate_)
+                      steadystate_, steadystate_sweep)
 from .solvers import (CachingSolver, HomotopySolver, SimpleSolver,  # noqa: E402
                       default_solver, homotopy_simple_solver)
 
@@ -47,7 +47,8 @@ __all__ = [
     "resistor", "potentiometer", "capacitor", "inductor", "transformer",
     "voltagesource", "currentsource", "voltageprobe", "currentprobe",
     "diode", "bjt", "mosfet", "opamp",
-    "run", "ModelRunner", "steadystate", "steadystate_", "linearize",
+    "run", "ModelRunner", "steadystate", "steadystate_",
+    "steadystate_sweep", "linearize",
     "SimpleSolver", "HomotopySolver", "CachingSolver",
     "default_solver", "homotopy_simple_solver",
 ]

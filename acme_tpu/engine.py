@@ -85,6 +85,7 @@ class CompiledModel:
         self.tol = float(tol)
         self.homotopy = homotopy
         self.warn = warn
+        self.model = model          # kept for steady_initial_state
 
         D = lambda m: jnp.asarray(m, dtype)
         self.a, self.b, self.c = D(model.a), D(model.b), D(model.c)
@@ -156,6 +157,56 @@ class CompiledModel:
             WarmStart(p=tile(w.p), z=tile(w.z), dzdp=tile(w.dzdp))
             for w in self._init_warm)
         return {"x": x, "warms": warms}
+
+    def steady_initial_state(self, lane_values=None, lane_input_idx=(),
+                             runin: int = 512):
+        """Per-lane steady scan carry: every lane starts at the steady
+        state of ITS OWN constant inputs, computed host-side by
+        :func:`acme_tpu.runtime.steadystate_sweep` (reference analog:
+        ``steadystate!`` + ``run!`` state persistence, ACME.jl:499-503).
+
+        ``lane_values`` (L, len(lane_input_idx)) as passed to
+        :meth:`run_sweep`; time-varying inputs are taken at 0.  With
+        ``lane_values=None`` one lane at u = 0."""
+        from .runtime import steadystate_sweep
+        model = self.model
+        if lane_values is None:
+            u_lanes = np.zeros((1, model.nu))
+        else:
+            lane_values = np.asarray(lane_values, float)
+            u_lanes = np.zeros((lane_values.shape[0], model.nu))
+            u_lanes[:, list(lane_input_idx)] = lane_values
+        L = u_lanes.shape[0]
+        xs, zs, conv = steadystate_sweep(model, u_lanes, runin=runin)
+        if not conv.all():
+            warnings.warn(f"steady_initial_state: {int((~conv).sum())}/{L} "
+                          "lanes did not certify steady; they start "
+                          "near-steady and settle dynamically.")
+        D = lambda m: jnp.asarray(m, self.dtype)
+        warms = []
+        off = 0
+        for k, sub in enumerate(self.subs):
+            nn_k, np_k = sub["nn"], sub["np"]
+            p_l = (xs @ np.asarray(model.dqs[k], float).T
+                   + u_lanes @ np.asarray(model.eqs[k], float).T
+                   + zs @ np.asarray(model.fqprevs[k], float).T)
+            fq = np.asarray(model.fqs[k], float)
+            pexp = np.asarray(model.pexps[k], float)
+            q = (np.asarray(model.q0s[k], float)[:, None]
+                 + pexp @ p_l.T + fq @ zs.T[off:off + nn_k])
+            with np.errstate(all="ignore"):
+                _, Jq = model.nl_funcs[k](np, q)   # (nn, nq, L)
+                J = np.einsum("ijl,jk->lik", Jq, fq)
+                Jp = np.einsum("ijl,jk->lik", Jq, pexp)
+                d = -np.linalg.pinv(J) @ Jp if nn_k else \
+                    np.zeros((L, 0, np_k))
+            bad = ~np.isfinite(d).all(axis=(1, 2))
+            if bad.any():
+                d[bad] = np.asarray(self._init_warm[k].dzdp, float)
+            warms.append(WarmStart(p=D(p_l), z=D(zs[:, off:off + nn_k]),
+                                   dzdp=D(d)))
+            off += nn_k
+        return {"x": D(xs), "warms": tuple(warms)}
 
     # -- scan body ----------------------------------------------------------
     def _make_scan(self):

@@ -37,6 +37,7 @@ samples masked so they cannot advance the state).
 
 from __future__ import annotations
 
+import warnings
 from typing import NamedTuple, Sequence
 
 import jax
@@ -355,6 +356,13 @@ class FusedRunner:
         # sibling.  This mirrors the reference's own "learning phase"
         # semantics (README.md:122-125): the expensive careful solver runs
         # while the trajectory settles, the cheap one after.
+        # ``powerup="steady"`` skips the transient altogether: a fresh
+        # run() starts every lane at ITS OWN host-computed steady state
+        # (steady_initial_state / runtime.steadystate_sweep) -- no
+        # power-up window, no learning-phase cost, for constant-pot runs.
+        self.powerup_steady = powerup == "steady"
+        if self.powerup_steady:
+            powerup = None
         if powerup == "safe":
             powerup = dict(fast_iters=0, extrapolate=False)
         self.powerup_cfg = dict(powerup) if powerup else None
@@ -2072,6 +2080,106 @@ class FusedRunner:
                 "pmode": jnp.zeros((max(self.nsub, 1), S, LANE),
                                    jnp.float32)}
 
+    def steady_initial_state(self, lane_values, runin: int = 512,
+                             rounds: int = 12):
+        """Per-lane steady start: every lane begins at the steady state of
+        ITS OWN constant inputs (pot positions, trims), computed host-side
+        by :func:`acme_tpu.runtime.steadystate_sweep`.
+
+        Eliminates the power-up transient -- and its solver cost (hundreds
+        of iterations/sample for thousands of samples at stiff pot
+        corners) -- entirely for constant-pot runs.  Reference analog:
+        ``steadystate!`` + ``run!`` state persistence (ACME.jl:499-503,
+        552-568), lane-batched.
+
+        ``lane_values`` exactly as passed to :meth:`run` ((L, nu_l),
+        uncentered); scale columns, if any, are ignored for the steady
+        solve (time-varying inputs are taken at their center values).
+        Lanes whose steady solve does not certify keep their computed
+        near-steady point (a warning reports the count); the kernel's
+        power-up machinery still covers them."""
+        from ..runtime import steadystate_sweep
+        lane_values = np.asarray(lane_values, float)
+        nu_l0 = len(self.lane_idx)
+        L = lane_values.shape[0] if lane_values.size else LANE
+        if L % LANE:
+            raise ValueError(f"lanes ({L}) must be a multiple of {LANE}")
+        S = L // LANE
+        midx = self._lane_model_idx(L)
+        x_l = np.zeros((L, max(self.nx, 1)))
+        z_l = np.zeros((L, max(self.nn_total, 1)))
+        wp_l = np.zeros((L, max(self.np_total, 1)))
+        dz_l = np.zeros((L, max(self.dz_total, 1)))
+        conv = np.ones(L, bool)
+        for mi, (m, p) in enumerate(zip(self.models, self._prep)):
+            sel = np.nonzero(midx == mi)[0]
+            if sel.size == 0:
+                continue
+            u_lanes = np.broadcast_to(self.u_ss,
+                                      (sel.size, m.nu)).astype(float).copy()
+            if nu_l0 and lane_values.size:
+                u_lanes[:, list(self.lane_idx)] = lane_values[sel, :nu_l0]
+            xs, zs, cv = steadystate_sweep(m, u_lanes, runin=runin,
+                                           rounds=rounds)
+            conv[sel] = cv
+            if self.nx:
+                x_l[sel, :self.nx] = (xs - p["x_ss"]) / self.Tx
+            if self.nn_total:
+                z_l[sel, :self.nn_total] = zs - p["z_ss"]
+            uc = u_lanes - self.u_ss
+            # consistent extrapolation origin (wp, zw) + per-lane
+            # sensitivity dz/dp = -(Jq Fq)^{-1} (Jq Pexp) at the steady
+            # point, with the RUNTIME Jacobian (solvers.jl:164-178)
+            off = 0
+            doff = 0
+            zoff = 0
+            for kk in range(self.nsub):
+                npk, nnk = m.np(kk), m.nn(kk)
+                if self.np_total:
+                    wp_l[sel, off:off + npk] = (
+                        x_l[sel, :self.nx] @ p["dq"][kk].T
+                        + uc @ np.asarray(m.eqs[kk], float).T
+                        + z_l[sel, :self.nn_total]
+                        @ np.asarray(m.fqprevs[kk], float).T)
+                if nnk and npk:
+                    p_phys = (np.asarray(m.dqs[kk], float) @ xs.T
+                              + np.asarray(m.eqs[kk], float) @ u_lanes.T
+                              + np.asarray(m.fqprevs[kk], float) @ zs.T)
+                    fq = np.asarray(m.fqs[kk], float)
+                    pexp = np.asarray(m.pexps[kk], float)
+                    q = (np.asarray(m.q0s[kk], float)[:, None]
+                         + pexp @ p_phys + fq @ zs.T[zoff:zoff + nnk])
+                    with np.errstate(all="ignore"):
+                        _, Jq = m.nl_funcs[kk](np, q)
+                        J = np.einsum("ijl,jk->lik", Jq, fq)
+                        Jp = np.einsum("ijl,jk->lik", Jq, pexp)
+                        d = -np.linalg.pinv(J) @ Jp     # (sel, nnk, npk)
+                    bad = ~np.isfinite(d).all(axis=(1, 2))
+                    if bad.any():
+                        d[bad] = p["dzdp0"][kk]
+                    dz_l[sel, doff:doff + nnk * npk] = d.reshape(
+                        sel.size, -1)
+                off += npk
+                doff += nnk * npk
+                zoff += nnk
+        n_bad = int((~conv).sum())
+        if n_bad:
+            warnings.warn(f"steady_initial_state: {n_bad}/{L} lanes did "
+                          "not certify steady; they start near-steady and "
+                          "settle dynamically.")
+
+        def as_block(arr):                       # (L, n) -> (n, S, LANE)
+            a_ = np.asarray(arr, np.float32)
+            return jnp.asarray(np.ascontiguousarray(
+                a_.T.reshape(-1, S, LANE)))
+
+        xlo = x_l - x_l.astype(np.float32).astype(np.float64)
+        return {"x": as_block(x_l), "xlo": as_block(xlo),
+                "z": as_block(z_l), "zw": as_block(z_l),
+                "wp": as_block(wp_l), "dzdp": as_block(dz_l),
+                "pmode": jnp.zeros((max(self.nsub, 1), S, LANE),
+                                   jnp.float32)}
+
     def _lane_tolerances(self, lane_values_centered, S):
         """Per-lane loop tolerance/gate (plain-f32 floor) and final
         acceptance gate (compensated floor).
@@ -2159,6 +2267,8 @@ class FusedRunner:
     def run(self, u_time, lane_values, state=None):
         """u_time: (nu_t, T); lane_values: (L, nu_l); returns
         (y (L, ny, T), state, fail_counts (L,))."""
+        if state is None and self.powerup_steady:
+            state = self.steady_initial_state(lane_values)
         if state is None and self.powerup_cfg is not None:
             ut = np.asarray(u_time, float)
             T0 = ut.shape[1]

@@ -17,7 +17,8 @@ from .model import DiscreteModel
 from .solvers import (HomotopySolver, ParametricNonLinEq, SimpleSolver,
                       linearize_solver)
 
-__all__ = ["run", "ModelRunner", "steadystate", "steadystate_", "linearize"]
+__all__ = ["run", "ModelRunner", "steadystate", "steadystate_",
+           "steadystate_sweep", "linearize"]
 
 
 class ModelRunner:
@@ -258,6 +259,341 @@ def steadystate_(model: DiscreteModel, u=None) -> np.ndarray:
     xs = steadystate(model, u)
     model.x[:] = xs
     return xs
+
+
+def _solve_sub_batch(model, idx, p, z0, tol=1e-10, maxiter=60):
+    """Warm-started batched Newton for one nonlinear subsystem over a lane
+    axis: ``p`` (np_k, L), ``z0`` (nn_k, L) -> (z, conv (L,), Jq at z).
+
+    The lane-batched counterpart of the per-sample solve inside
+    :meth:`ModelRunner.step` (ref ACME.jl:675-697 / solvers.jl:207-236):
+    plain Newton, no homotopy -- callers provide on-branch warm starts
+    (previous sample / previous continuation point), which is the same
+    contract the reference's extrapolation origin provides."""
+    nl = model.nl_funcs[idx]
+    pexp = np.asarray(model.pexps[idx], float)
+    fq = np.asarray(model.fqs[idx], float)
+    q0 = np.asarray(model.q0s[idx], float)
+    nn_k = model.nn(idx)
+    L = p.shape[1]
+    if nn_k == 0:
+        return (np.zeros((0, L)), np.ones(L, bool),
+                np.zeros((0, model.nq(idx), L)))
+    pfull = q0[:, None] + pexp @ p
+    z = np.array(z0, float)
+    best_z = z.copy()
+    best_r = np.full(L, np.inf)
+    conv = np.zeros(L, bool)
+    Jq = np.zeros((nn_k, model.nq(idx), L))
+    with np.errstate(all="ignore"):
+        for _ in range(maxiter):
+            res, Jq_new = nl(np, pfull + fq @ z)
+            finite = np.isfinite(res).all(0)
+            resmax = np.where(finite, np.abs(res).max(0), np.inf)
+            improved = resmax < best_r
+            best_r = np.where(improved, resmax, best_r)
+            best_z[:, improved] = z[:, improved]
+            Jq[..., improved] = Jq_new[..., improved]
+            conv = best_r < tol
+            active = finite & ~conv
+            if not active.any():
+                break
+            # J = Jq @ fq per lane; batched solve with pinv fallback
+            J = np.einsum("ijl,jk->lik", Jq_new, fq)
+            r_l = res.T[:, :, None]
+            try:
+                step = np.linalg.solve(J, r_l)[:, :, 0].T
+            except np.linalg.LinAlgError:
+                step = (np.linalg.pinv(J) @ r_l)[:, :, 0].T
+            step = np.where(np.isfinite(step), step, 0.0)
+            # scale down super-sized steps (the host leans on homotopy
+            # here; warm-started continuation keeps these rare)
+            smax = np.abs(step).max(0)
+            scale = np.where(smax > 10.0, 10.0 / np.maximum(smax, 1e-30),
+                             1.0)
+            z = np.where(active, z - step * scale, best_z)
+    return best_z, conv, Jq
+
+
+def steadystate_sweep(model: DiscreteModel, u_lanes, runin: int = 512,
+                      rounds: int = 12, ramp: int = 64, attempts: int = 3,
+                      solve_tol: float = 1e-10):
+    """Per-lane steady states for a batch of constant inputs.
+
+    Lane-parallel counterpart of :func:`steadystate` (ref ACME.jl:474-497)
+    for L lanes sharing the model matrices and differing only in the
+    constant input vector (pot positions, trims): returns
+    ``(x (L, nx), z (L, nn), converged (L,))``.
+
+    Branch safety: the reference's steady solve homotopies each subsystem
+    from zero through the (I-A)^-1-folded system, which has spurious
+    non-physical fixed points the reference itself trips over
+    (test/runtests.jl:763-764 @test_broken; see
+    :func:`operating_point`).  This routine never solves the folded
+    system.  Instead, per attempt:
+
+    1. **Ramped dynamics run-in** (lane-vectorized): run the true
+       per-sample map at constant input, ramping the input from the
+       lane-mean to each lane's value over ``ramp`` samples -- on the
+       trajectory's solution branch by construction.
+    2. **Newton on the one-sample map** ``g(x) = f(x) - x`` with z
+       warm-tracked from the run-in values: the Jacobian
+       ``df/dx = A + sum_k C_k dz_k/dx`` chains per-subsystem
+       sensitivities dz/dp = -(Jq Fq)^{-1} (Jq Pexp) through the Fqprev
+       couplings exactly as :func:`linearize` does (ACME.jl:529-539).
+       Eigenvalue-1 modes of A (pinned bias rails) are conserved only
+       for the linear part -- the nonlinearity feeds them back with a
+       huge time constant (~30k samples measured on the chain-decomposed
+       superover), so Newton jumps the whole slow tail in one step;
+       genuinely conserved directions are dropped by the pinv rank
+       cutoff.  Steps are backtracked and guarded by z-continuity
+       against carrying the warm-tracked z across a root-basin boundary.
+    3. **Drift verification**: run the true dynamics from the candidate
+       (z warm-started from the RUN-IN branch, so a root unreachable
+       from the host's branch cannot hold still); keep the candidate
+       only if it is at least as quiet as the run-in baseline, and --
+       when the baseline is itself settled -- only if its output agrees
+       with the baseline's (a latched wrong operating point passes every
+       residual and drift test but sits at a different output).
+
+    Non-certified lanes extend the run-in and retry (``attempts``
+    rounds, doubling); the best-drift state per lane is returned with
+    ``converged`` reporting whether its verified output drift is below
+    1e-7 of the circuit's signal scale."""
+    u_lanes = np.asarray(u_lanes, float)
+    if u_lanes.ndim != 2 or u_lanes.shape[1] != model.nu:
+        raise ValueError(f"u_lanes must be (L, {model.nu}), "
+                         f"got {u_lanes.shape}")
+    L = u_lanes.shape[0]
+    nx, nsub = model.nx, model.nsubsystems
+    nn_tot = model.nn()
+    a = np.asarray(model.a, float)
+    b = np.asarray(model.b, float)
+    c = np.asarray(model.c, float)
+    x0 = np.asarray(model.x0, float)
+    uT = u_lanes.T
+    zr = []
+    off = 0
+    for k in range(nsub):
+        zr.append(slice(off, off + model.nn(k)))
+        off += model.nn(k)
+
+    if nn_tot == 0:
+        # linear model: exact direct solve (lstsq for conserved modes)
+        if nx == 0:
+            return np.zeros((L, 0)), np.zeros((L, 0)), np.ones(L, bool)
+        rhs = b @ uT + x0[:, None]
+        x = np.linalg.lstsq(np.eye(nx) - a, rhs, rcond=None)[0]
+        return x.T, np.zeros((L, 0)), np.ones(L, bool)
+
+    def track_z(x, z, ut):
+        """One chain of warm-started subsystem solves at state x, input
+        ut; returns (z, conv, Jq list)."""
+        z = z.copy()
+        conv = np.ones(L, bool)
+        Jqs = []
+        for k in range(nsub):
+            p = (np.asarray(model.dqs[k], float) @ x
+                 + np.asarray(model.eqs[k], float) @ ut
+                 + np.asarray(model.fqprevs[k], float) @ z)
+            zk, ck, Jq = _solve_sub_batch(model, k, p, z[zr[k]],
+                                          tol=solve_tol)
+            z[zr[k]] = zk
+            conv &= ck
+            Jqs.append(Jq)
+        return z, conv, Jqs
+
+    u_mean = u_lanes.mean(axis=0)
+
+    def dyn_steps(x, z, n, ramp_from=None):
+        for t in range(n):
+            if ramp_from is not None and ramp:
+                s = min(1.0, (t + 1) / ramp)
+                ut = ramp_from[:, None] + s * (uT - ramp_from[:, None])
+            else:
+                ut = uT
+            z, _, _ = track_z(x, z, ut)
+            if nx:
+                x = a @ x + b @ ut + c @ z + x0[:, None]
+        return x, z
+
+    x = np.zeros((nx, L))
+    z = np.concatenate([np.asarray(zk, float) for zk in model.init_zs]) \
+        .reshape(nn_tot, 1) * np.ones((1, L))
+    x, z = dyn_steps(x, z, runin, ramp_from=u_mean)
+
+    if nx == 0:
+        z, conv, _ = track_z(x, z, uT)
+        return x.T, z.T, conv
+
+    # Per-state scale for the Newton residual measure: include |f(x)|
+    # along with |x| -- eigenvalue -1 modes of A (undamped sample-rate
+    # alternation, a trapezoidal-discretization artifact of stiff nodes)
+    # sit at x = 0 on one phase of their period-2 cycle while |f(x)| is
+    # the full alternation amplitude; Newton lands them on the cycle's
+    # true fixed point in one step, but the scale must not read 0.
+    z_sc, _, _ = track_z(x, z, uT)
+    xnext_sc = a @ x + b @ uT + c @ z_sc + x0[:, None]
+    scale = np.maximum(np.abs(x).max(axis=1), np.abs(xnext_sc).max(axis=1))
+    scale = np.maximum(scale, scale.max() * 1e-6 + 1e-300)
+
+    # The observable scale for all acceptance gates must be the
+    # circuit's SIGNAL scale, not the quiescent output (which is ~0 with
+    # the audio input at its center, so nanovolt-level jitter would trip
+    # every gate).  Junction drops in z and the constant inputs measure
+    # it directly -- the same volt-ish anchor the reference's own
+    # absolute tolerances assume (solvers.jl:175, ACME.jl:489).
+    vref = max(float(np.abs(z).max()) if nn_tot else 0.0,
+               float(np.abs(uT).max()) if uT.size else 0.0, 1e-300)
+
+    def gmeas(x, z):
+        z2, conv, Jqs = track_z(x, z, uT)
+        g = a @ x + b @ uT + c @ z2 + x0[:, None] - x
+        gn = (np.abs(g) / scale[:, None]).max(axis=0)
+        return g, gn, z2, conv, Jqs
+
+    dyv = np.asarray(model.dy, float)
+    eyv = np.asarray(model.ey, float)
+    fyv = np.asarray(model.fy, float)
+    y0v = np.asarray(model.y0, float)
+
+    def verify(x0v, z0v, V=64):
+        """Run V true-dynamics samples; returns (output drift, final x,
+        final z, first-sample output)."""
+        xv, zv = x0v.copy(), z0v.copy()
+        ys = []
+        for _ in range(V):
+            zv, _, _ = track_z(xv, zv, uT)
+            if model.ny:
+                ys.append(dyv @ xv + eyv @ uT + fyv @ zv + y0v[:, None])
+            xv = a @ xv + b @ uT + c @ zv + x0[:, None]
+        if model.ny:
+            ys = np.stack(ys)                      # (V, ny, L)
+            drift = np.abs(ys - ys[0]).max(axis=(0, 1))
+            yfirst = ys[0]
+        else:
+            drift = (np.abs(xv - x0v) / scale[:, None]).max(axis=0)
+            yfirst = np.zeros((0, L))
+        return drift, xv, zv, yfirst
+
+    def newton_rounds(x, z):
+        """Guarded Newton on g(x) = f(x) - x; returns the candidate."""
+        g, gn, z, _, Jqs = gmeas(x, z)
+        eyeL = np.eye(nx)
+        gtol_rel = 1e-11
+        with np.errstate(all="ignore"):
+            for _ in range(rounds):
+                done = gn <= gtol_rel
+                if done.all():
+                    break
+                # chained df/dx (batched over lanes), ref ACME.jl:529-539
+                dzdx = []
+                for k in range(nsub):
+                    Jq = Jqs[k]                   # (nn_k, nq_k, L)
+                    fq = np.asarray(model.fqs[k], float)
+                    pexp = np.asarray(model.pexps[k], float)
+                    J = np.einsum("ijl,jk->lik", Jq, fq)
+                    Jp = np.einsum("ijl,jk->lik", Jq, pexp)
+                    dzdp = -np.linalg.pinv(J) @ Jp  # (L, nn_k, np_k)
+                    dpdx = np.broadcast_to(
+                        np.asarray(model.dqs[k], float)[None],
+                        (L, model.np(k), nx)).copy()
+                    fqprev = np.asarray(model.fqprevs[k], float)
+                    for j in range(k):
+                        fsub = fqprev[:, zr[j]]
+                        if fsub.any():
+                            dpdx += np.einsum("ij,ljk->lik", fsub, dzdx[j])
+                    dzdx.append(dzdp @ dpdx)      # (L, nn_k, nx)
+                Jf = np.broadcast_to(a[None], (L, nx, nx)).copy()
+                for k in range(nsub):
+                    ck = c[:, zr[k]]
+                    if ck.size:
+                        Jf += np.einsum("ij,ljk->lik", ck, dzdx[k])
+                # rank-cutoff pinv step (genuinely conserved modes drop)
+                step = (np.linalg.pinv(Jf - eyeL[None], rcond=1e-12)
+                        @ g.T[:, :, None])[:, :, 0].T
+                step = np.where(np.isfinite(step), step, 0.0)
+                # Backtracking with a BRANCH GUARD: the per-sample system
+                # is multi-root for some circuits; a Newton step in x can
+                # carry the warm-tracked z across a basin boundary, after
+                # which |g| happily shrinks toward a *different orbit's*
+                # fixed point.  The actual z at the stepped x must agree
+                # with its own linear prediction z + dz/dx . dx to within
+                # a fraction of the z scale -- a hop violates that.
+                zsc = np.maximum(np.abs(z).max(axis=0), 1.0)
+                accepted = np.zeros(L, bool)
+                for t in (1.0, 0.5, 0.25, 0.125):
+                    trial = ~done & ~accepted
+                    if not trial.any():
+                        break
+                    dx = -t * step
+                    x_try = np.where(trial, x + dx, x)
+                    zpred = z.copy()
+                    for k in range(nsub):
+                        zpred[zr[k]] += np.einsum("lij,jl->il", dzdx[k], dx)
+                    g2, gn2, z2, _, Jqs2 = gmeas(x_try, zpred)
+                    cont = (np.abs(z2 - zpred).max(axis=0) / zsc) < 0.1
+                    ok = trial & (gn2 < (1.0 - 0.05 * t) * gn) & cont \
+                        & np.isfinite(x_try).all(0)
+                    if not ok.any():
+                        continue
+                    x = np.where(ok, x_try, x)
+                    g = np.where(ok[None, :], g2, g)
+                    gn = np.where(ok, gn2, gn)
+                    z = np.where(ok[None, :], z2, z)
+                    for k in range(nsub):
+                        Jqs[k] = np.where(ok[None, None, :], Jqs2[k],
+                                          Jqs[k])
+                    accepted |= ok
+                if (~accepted & ~done).any():
+                    # stubborn lanes: a few true dynamics steps instead
+                    # (a no-op for lanes already at their fixed point)
+                    x, z = dyn_steps(x, z, 8)
+                    g, gn, z, _, Jqs = gmeas(x, z)
+        return x, z
+
+    import os as _os
+    debug = bool(_os.environ.get("ACME_SSWEEP_DEBUG"))
+    best_x = best_z = None
+    best_drift = np.full(L, np.inf)
+    x_run, z_run = x, z
+    for attempt in range(max(attempts, 1)):
+        xn, zn = newton_rounds(x_run, z_run)
+        drift_n, _, z_nv, y_n = verify(xn, z_run)
+        drift_r, x_rv, z_rv, y_r = verify(x_run, z_run)
+        # Acceptance: candidate at least as quiet as the baseline; when
+        # the baseline is itself settled, the candidate's output must
+        # also AGREE with it (latched-wrong-operating-point detector; a
+        # mid-transient baseline must not veto a legitimate jump).
+        dy_nr = np.abs(y_n - y_r).max(axis=0) if model.ny \
+            else np.zeros(L)
+        if debug:                                   # pragma: no cover
+            print("SSWEEP vref:", vref, "\n drift_n:", drift_n,
+                  "\n drift_r:", drift_r, "\n dy_nr:", dy_nr)
+        settled_r = drift_r <= 1e-7 * vref
+        consistent = ~settled_r \
+            | (dy_nr <= np.maximum(8.0 * drift_r, 1e-6 * vref))
+        keep_n = consistent \
+            & (drift_n <= np.maximum(drift_r, 1e-8 * vref)) \
+            & np.isfinite(xn).all(0) & np.isfinite(z_nv).all(0)
+        x_att = np.where(keep_n, xn, x_rv)
+        z_att = np.where(keep_n[None, :], z_nv, z_rv)
+        drift_att = np.where(keep_n, drift_n, drift_r)
+        better = drift_att < best_drift
+        if best_x is None:
+            best_x, best_z, best_drift = x_att, z_att, drift_att
+        else:
+            best_x = np.where(better, x_att, best_x)
+            best_z = np.where(better[None, :], z_att, best_z)
+            best_drift = np.where(better, drift_att, best_drift)
+        if (best_drift <= 1e-7 * vref).all() or attempt == attempts - 1:
+            break
+        # extend the run-in (doubling) from the advanced baseline --
+        # never from the Newton candidate, whose branch is unverified
+        x_run, z_run = dyn_steps(x_rv, z_rv, runin * (2 ** attempt))
+    conv = (best_drift <= 1e-7 * vref) & np.isfinite(best_x).all(0) \
+        & np.isfinite(best_z).all(0)
+    return best_x.T, best_z.T, conv
 
 
 def linearize(model: DiscreteModel, usteady=None) -> DiscreteModel:

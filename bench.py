@@ -72,7 +72,7 @@ def _scan_parity_worker(payload):
     power-up reference is window 1; the steady reference is window
     2 + reps (the fused run does power-up, one untimed warm-up, then
     ``reps`` timed chained runs)."""
-    (sweep, variant, fs, T, reps, levels, drives, tones) = payload
+    (sweep, variant, fs, T, reps, levels, drives, tones, powerup) = payload
     import numpy as np
 
     import jax
@@ -85,14 +85,32 @@ def _scan_parity_worker(payload):
     base = 0.2 * np.sin(2 * np.pi * 1000 / fs * np.arange(T))
     if sweep == "pots":
         lane_values = np.stack([drives, tones], axis=1)
-        y_pw, state, _ = cm.run_sweep(base[None, :], lane_values, (1, 2))
+        # powerup="steady": the fused run starts at the per-lane steady
+        # state, so the reference must too (same protocol both sides)
+        state = cm.steady_initial_state(lane_values, (1, 2)) \
+            if powerup == "steady" else None
+        y_pw, state, _ = cm.run_sweep(base[None, :], lane_values, (1, 2),
+                                      state=state)
         y_st = y_pw
         for _ in range(reps + 1):
             y_st, state, _ = cm.run_sweep(base[None, :], lane_values,
                                           (1, 2), state=state)
     else:
         u = np.asarray(levels)[:, None, None] * base[None, None, :]
-        y_pw, state, _ = cm.run(u)
+        state = None
+        if powerup == "steady":
+            # level lanes share one steady state (input scale, audio at 0)
+            s1 = cm.steady_initial_state()
+            state = cm.initial_state(len(levels), x=np.asarray(s1["x"])[0])
+            state["warms"] = tuple(
+                type(w)(p=np.broadcast_to(np.asarray(sw.p)[0],
+                                          np.asarray(w.p).shape),
+                        z=np.broadcast_to(np.asarray(sw.z)[0],
+                                          np.asarray(w.z).shape),
+                        dzdp=np.broadcast_to(np.asarray(sw.dzdp)[0],
+                                             np.asarray(w.dzdp).shape))
+                for w, sw in zip(state["warms"], s1["warms"]))
+        y_pw, state, _ = cm.run(u, state=state)
         y_st = y_pw
         for _ in range(reps + 1):
             y_st, state, _ = cm.run(u, state=state)
@@ -131,9 +149,15 @@ def main():
                     help="double-float polish mode (plain_final = plain-f32 "
                          "polish loop + one df eval/step per sample, the "
                          "production default)")
+    ap.add_argument("--powerup", choices=["safe", "none", "steady"],
+                    default="safe",
+                    help="fresh-state start: 'safe' = two-phase "
+                         "conservative first window; 'steady' = per-lane "
+                         "host-computed steady start (no transient, no "
+                         "power-up cost; the parity reference is seeded "
+                         "identically); 'none' = fast config from x = 0")
     ap.add_argument("--no-powerup-phase", action="store_true",
-                    help="disable the safe-config power-up phase on the "
-                         "first (fresh-state) run")
+                    help="deprecated alias for --powerup none")
     ap.add_argument("--parity-lanes", type=int, default=16,
                     help="stratified parity sample size (0 disables)")
     ap.add_argument("--smoke", action="store_true",
@@ -141,6 +165,8 @@ def main():
     ap.add_argument("--no-parity", action="store_true",
                     help="skip the float64 host parity check")
     args = ap.parse_args()
+    if args.no_powerup_phase:
+        args.powerup = "none"
 
     if args.smoke:
         # CPU sanity path: the float64 scan engine compiles quickly on CPU;
@@ -200,7 +226,8 @@ def main():
                          group_lanes=gl, interpret=args.smoke,
                          fast_iters=args.fast_iters, df_polish=df_polish,
                          fast_verify="merge",
-                         powerup=None if args.no_powerup_phase else "safe",
+                         powerup={"safe": "safe", "none": None,
+                                  "steady": "steady"}[args.powerup],
                          **lane_cfg)
         log(f"runner build (centering + floors): {time.time()-t0:.1f}s")
         t0 = time.time()
@@ -236,7 +263,10 @@ def main():
         from acme_tpu.engine import compile_model
         cm = compile_model(model)
         t0 = time.time()
-        y0, state, info = cm.run_sweep(u_time, lane_values, (1, 2))
+        state = cm.steady_initial_state(lane_values, (1, 2)) \
+            if args.powerup == "steady" else None
+        y0, state, info = cm.run_sweep(u_time, lane_values, (1, 2),
+                                       state=state)
         _ = np.asarray(y0[:1, :1, :8])
         log(f"compile+power-up run: {time.time()-t0:.1f}s")
         # untimed warm-up window so the steady window index (2 + reps)
@@ -288,16 +318,18 @@ def main():
                 log(f"reference cache unreadable ({e}); recomputing")
         def lanekey(i):
             lv, d, tn = lane_params(i)
-            return ("scan1_{}_{}_fs{}_T{}_r{}_lv{:.6f}_d{:.6f}_t{:.6f}"
+            tag = "_steady" if args.powerup == "steady" else ""
+            return ("scan1_{}_{}_fs{}_T{}_r{}_lv{:.6f}_d{:.6f}_t{:.6f}{}"
                     .format(args.sweep, args.model, args.fs, T, args.reps,
-                            lv, d, tn))
+                            lv, d, tn, tag))
         missing = [i for i in lanes_sel if lanekey(i) + "_pw" not in cache]
         t0 = time.time()
         if missing:
             payload = (args.sweep, args.model, args.fs, T, args.reps,
                        np.array([lane_params(i)[0] for i in missing]),
                        np.array([lane_params(i)[1] for i in missing]),
-                       np.array([lane_params(i)[2] for i in missing]))
+                       np.array([lane_params(i)[2] for i in missing]),
+                       args.powerup)
             if args.smoke:
                 ys_pw, ys_st = _scan_parity_worker(payload)
             else:

@@ -1,0 +1,129 @@
+"""Lane-batched steady states: runtime.steadystate_sweep and the fused
+runner's per-lane steady start (FusedRunner.steady_initial_state).
+
+Reference analog: steadystate!/run! state persistence (ACME.jl:474-503,
+552-568), here vectorized over a lane axis of constant inputs so the
+power-up transient of a parameter-grid run is eliminated entirely."""
+
+import warnings
+from fractions import Fraction
+
+import numpy as np
+import pytest
+
+import acme_tpu as A
+from acme_tpu import models as M
+from acme_tpu.ops.fused import FusedRunner
+from acme_tpu.runtime import steadystate, steadystate_sweep
+
+
+def test_steadystate_sweep_matches_scalar_birdie():
+    """Well-behaved circuit: the sweep must agree with the scalar
+    reference-faithful steadystate per lane (incl. the eigenvalue -1
+    alternating state that dynamics alone never settles)."""
+    m = M.birdie_model()
+    vols = np.array([0.1, 0.5, 0.99])
+    u_lanes = np.stack([np.zeros(3), vols], axis=1)
+    x, z, conv = steadystate_sweep(m, u_lanes, runin=256)
+    assert conv.all()
+    for i, v in enumerate(vols):
+        xs, zs = steadystate(m, np.array([0.0, v]), return_z=True)
+        assert np.max(np.abs(x[i] - xs)) <= 1e-9 * max(np.max(np.abs(xs)), 1e-12)
+        assert np.max(np.abs(z[i] - zs)) <= 1e-8 * max(np.max(np.abs(zs)), 1.0)
+
+
+def test_steadystate_sweep_linear_model():
+    m = M.sallenkey_model()
+    x, z, conv = steadystate_sweep(m, np.zeros((2, m.nu)))
+    assert conv.all() and z.shape[1] == 0
+    # fixed point of the linear update
+    xn = m.a @ x.T + m.x0[:, None]
+    assert np.max(np.abs(xn - x.T)) < 1e-12
+
+
+@pytest.mark.slow
+def test_steadystate_sweep_chain_superover_pot_corners():
+    """The hard case: chain-decomposed superover (singular I - A, slow
+    bias-rail modes with tau ~ 30k samples, multi-root subsystems; the
+    reference's own steady check is @test_broken here,
+    test/runtests.jl:763-764).  The sweep must certify pot-corner lanes
+    and the host runner started at the returned state must hold its
+    output fixed."""
+    circ = M.superover(level=1.0, vb_source=True)
+    m = A.DiscreteModel(circ, Fraction(1, 44100))
+    drives = np.array([0.05, 0.95])
+    tones = np.array([0.05, 0.95])
+    u_lanes = np.stack([np.zeros(2), drives, tones], axis=1)
+    x, z, conv = steadystate_sweep(m, u_lanes, runin=512)
+    assert conv.all()
+    for i in range(2):
+        m.x[:] = x[i]
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            y = A.run(m, np.broadcast_to(u_lanes[i][:, None],
+                                         (m.nu, 150)).copy())
+        assert np.max(np.abs(y - y[:, :1])) < 1e-9   # no transient
+        assert np.max(np.abs(y[:, 0])) < 1e-6        # true steady: y = 0
+
+
+def test_fused_steady_initial_state_birdie():
+    """Per-lane steady start through the fused kernel: a run at constant
+    (zero) audio from steady_initial_state must show no power-up
+    transient -- output flat from sample 0 at each lane's own steady
+    output."""
+    m = M.birdie_model()
+    fr = FusedRunner(m, lane_input_idx=(1,), time_chunk=32,
+                     newton_iters=12, tol=1e-9, interpret=True,
+                     compensated=False, extrapolate=False)
+    vols = np.concatenate([np.full(64, 0.2), np.full(64, 0.9)])[:, None]
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        state = fr.steady_initial_state(vols)
+    T = 32
+    u = np.zeros((1, T))
+    y, _, info = fr.run(u, vols, state=state)
+    y = np.asarray(y)
+    assert int(np.asarray(info.fails).sum()) == 0
+    # flat output (no transient) at the per-lane steady value
+    for lane, vol in ((0, 0.2), (127, 0.9)):
+        xs, zs = steadystate(m, np.array([0.0, vol]), return_z=True)
+        y_ss = (m.dy @ xs + m.ey @ np.array([0.0, vol]) + m.fy @ zs
+                + m.y0)[0]
+        assert np.max(np.abs(y[lane, 0] - y_ss)) < 5e-4
+        assert np.max(np.abs(y[lane, 0] - y[lane, 0, 0])) < 5e-4
+
+
+def test_fused_powerup_steady_knob():
+    """powerup='steady': a fresh run() goes straight to the per-lane
+    steady start (no power-up window, no transient)."""
+    m = M.birdie_model()
+    fr = FusedRunner(m, lane_input_idx=(1,), time_chunk=16,
+                     newton_iters=12, tol=1e-9, interpret=True,
+                     compensated=False, extrapolate=False,
+                     powerup="steady")
+    vols = np.full((128, 1), 0.7)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        y, st, info = fr.run(np.zeros((1, 16)), vols)
+    y = np.asarray(y)
+    assert int(np.asarray(info.fails).sum()) == 0
+    assert np.max(np.abs(y[0, 0] - y[0, 0, 0])) < 5e-4   # flat: no transient
+
+
+def test_engine_steady_initial_state_birdie():
+    """Seeded f64 scan engine: from steady_initial_state the output is
+    flat at each lane's steady value from sample 0 (no transient)."""
+    from acme_tpu.engine import compile_model
+
+    m = M.birdie_model()
+    cm = compile_model(m)
+    vols = np.array([[0.25], [0.75]])
+    state = cm.steady_initial_state(vols, (1,))
+    T = 64
+    y, _, info = cm.run_sweep(np.zeros((1, T)), vols, (1,), state=state)
+    y = np.asarray(y)
+    for lane, vol in enumerate((0.25, 0.75)):
+        xs, zs = steadystate(m, np.array([0.0, vol]), return_z=True)
+        y_ss = (m.dy @ xs + m.ey @ np.array([0.0, vol]) + m.fy @ zs
+                + m.y0)[0]
+        assert np.max(np.abs(y[lane, 0] - y_ss)) < 1e-8
