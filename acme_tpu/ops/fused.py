@@ -157,7 +157,7 @@ class _Var:
         return f"_Var({self.i})"
 
 
-def _solve_rows(J, R, refine=1, pivot=True):
+def _solve_rows(J, R, refine=1, pivot=True, xp=jnp):
     """Solve the per-lane dense systems J X = R where J is a list of lists of
     (S,128) vectors and R is a list of right-hand sides (each a list of n
     vectors); one tiny system per lane, vectorized over lanes.
@@ -177,7 +177,15 @@ def _solve_rows(J, R, refine=1, pivot=True):
     an extra iteration -- lanes where it ever fails are caught by the
     residual gate and retried on the pivoted rescue path.
 
-    n==1,2: closed form.  n>=3: Gaussian elimination vectorized over lanes."""
+    n==1,2: closed form.  n>=3: Gaussian elimination vectorized over lanes.
+
+    ``xp=dfmath`` runs the identical elimination on double-float (hi, lo)
+    entries (all operands must be DF): ~1e-14 effective epsilon, which is
+    what resolves the near-null direction of a cond-spike Jacobian that a
+    float32 solve leaves undetermined (for n == 2 the failure is exactly
+    the catastrophic cancellation in det = ad - bc, which the two_prod
+    EFT computes exactly).  Used for the final verdict step when
+    ``df_solve`` is enabled."""
     n = len(J)
     m = len(R)
     if n == 1:
@@ -190,22 +198,24 @@ def _solve_rows(J, R, refine=1, pivot=True):
                  (R[j][1] * J[0][0] - R[j][0] * J[1][0]) * inv]
                 for j in range(m)]
 
+    df = xp is not jnp
+    ab = (lambda v: jnp.abs(v.hi + v.lo)) if df else jnp.abs
     rs = []
     for i in range(n):
-        mx = jnp.abs(J[i][0])
+        mx = ab(J[i][0])
         for jj in range(1, n):
-            mx = jnp.maximum(mx, jnp.abs(J[i][jj]))
+            mx = jnp.maximum(mx, ab(J[i][jj]))
         rs.append(_recip_safe(mx))
     Jr = [[J[i][jj] * rs[i] for jj in range(n)] for i in range(n)]
     cs = []
     for jj in range(n):
-        mx = jnp.abs(Jr[0][jj])
+        mx = ab(Jr[0][jj])
         for i in range(1, n):
-            mx = jnp.maximum(mx, jnp.abs(Jr[i][jj]))
+            mx = jnp.maximum(mx, ab(Jr[i][jj]))
         cs.append(_recip_safe(mx))
     Js = [[Jr[i][jj] * cs[jj] for jj in range(n)] for i in range(n)]
     Rs = [[R[j][i] * rs[i] for i in range(n)] for j in range(m)]
-    Y = _solve_raw(Js, Rs, pivot)
+    Y = _solve_raw(Js, Rs, pivot, xp=xp)
     X = [[Y[j][jj] * cs[jj] for jj in range(n)] for j in range(m)]
     for _ in range(refine):
         R2 = []
@@ -217,30 +227,33 @@ def _solve_rows(J, R, refine=1, pivot=True):
                     acc = acc - J[i][jj] * X[j][jj]
                 r2.append(acc * rs[i])
             R2.append(r2)
-        E = _solve_raw(Js, R2, pivot)
+        E = _solve_raw(Js, R2, pivot, xp=xp)
         X = [[X[j][jj] + E[j][jj] * cs[jj] for jj in range(n)]
              for j in range(m)]
     return X
 
 
-def _solve_raw(J, R, pivot=True):
+def _solve_raw(J, R, pivot=True, xp=jnp):
     """Elimination on vector rows; J (n x n), R list of m RHS.  With
     ``pivot`` each step swaps in the max-|column| row per lane via
-    where-selects (branch-free); without, plain diagonal elimination."""
+    where-selects (branch-free); without, plain diagonal elimination.
+    ``xp`` selects the arithmetic (jnp float32 or dfmath double-float)."""
     n = len(J)
     m = len(R)
+    df = xp is not jnp
+    ab = (lambda v: jnp.abs(v.hi + v.lo)) if df else jnp.abs
     A = [J[i][:] + [R[j][i] for j in range(m)] for i in range(n)]
     w = n + m
     for k in range(n):
         if pivot:
             best = A[k]
-            best_abs = jnp.abs(A[k][k])
+            best_abs = ab(A[k][k])
             for i in range(k + 1, n):
-                cand_abs = jnp.abs(A[i][k])
+                cand_abs = ab(A[i][k])
                 take = cand_abs > best_abs
-                new_best = [jnp.where(take, A[i][c], best[c])
+                new_best = [xp.where(take, A[i][c], best[c])
                             for c in range(w)]
-                A[i] = [jnp.where(take, best[c], A[i][c]) for c in range(w)]
+                A[i] = [xp.where(take, best[c], A[i][c]) for c in range(w)]
                 best = new_best
                 best_abs = jnp.maximum(cand_abs, best_abs)
             A[k] = best
@@ -248,7 +261,7 @@ def _solve_raw(J, R, pivot=True):
         for i in range(k + 1, n):
             fct = A[i][k] * inv
             tail = [A[i][c] - fct * A[k][c] for c in range(k, w)]
-            A[i] = [jnp.zeros_like(fct)] * k + tail
+            A[i] = [xp.zeros_like(fct)] * k + tail
     X = [[None] * n for _ in range(m)]
     for i in range(n - 1, -1, -1):
         inv = 1.0 / A[i][i]
@@ -281,7 +294,7 @@ class FusedRunner:
                  rel_tol: float = None, rel_gate: float = None,
                  rel_tol_polish: float = None, polish_iters: int = 10,
                  polish_fixed: int = 0,
-                 df_polish: bool = True,
+                 df_polish: bool = True, df_solve: bool = False,
                  pivot: bool = True, group_lanes: int = 2048,
                  fast_iters: int = 0, fast_verify: str = "group",
                  fast_keep: str = "gate", stall_strikes: int = 2,
@@ -427,6 +440,15 @@ class FusedRunner:
             self.df_polish = df_polish if self.compensated else False
         else:
             self.df_polish = bool(df_polish) and self.compensated
+        # df_solve: the final verdict step's Newton correction solves
+        # J dz = res entirely in double-float (Jacobian assembly AND
+        # elimination), not just the residual.  This is the only tier
+        # that can fix the RESIDUAL-INVISIBLE null-direction z error at
+        # cond(J) spikes (pot end-stops): a f32 solve leaves the
+        # near-null component of dz undetermined no matter how accurate
+        # the residual is.  For nn <= 2 subsystems (the production chain
+        # model) the df closed form costs ~10 extra df mults per sample.
+        self.df_solve = bool(df_solve) and bool(self.df_polish)
         self.lane_idx = tuple(int(i) for i in lane_input_idx)
         # lane-scaled inputs: time-varying rows multiplied by a per-lane
         # constant (e.g. one audio stream fanned out at 4096 input levels)
@@ -1030,6 +1052,7 @@ class FusedRunner:
                             res = res_df.hi + res_df.lo
                             Jq = Jq_df.hi + Jq_df.lo
                         else:
+                            res_df = Jq_df = None
                             res, Jq = sub["nl"](jnp, qv)
                         if cmode and cmode != "df":
                             # first-order correction: res(q_hi + q_lo)
@@ -1055,8 +1078,29 @@ class FusedRunner:
                                     acc = term if acc is None else acc + term
                                 J[ai][bi] = acc if acc is not None \
                                     else jnp.zeros_like(z[0])
+                        if df_slv and cmode == "df":
+                            # double-float Newton system for the df solve:
+                            # J and res kept as (hi, lo) pairs so the
+                            # verdict step's elimination resolves the
+                            # near-null direction a f32 solve cannot
+                            Jd = [[None] * nn_k for _ in range(nn_k)]
+                            for ai in range(nn_k):
+                                for bi in range(nn_k):
+                                    acc = None
+                                    for ci in range(nq_k):
+                                        cf = sub["fq"][ci][bi]
+                                        if czero(cf):
+                                            continue
+                                        term = Jq_df[ai, ci] * cval(cf)
+                                        acc = term if acc is None \
+                                            else acc + term
+                                    Jd[ai][bi] = acc if acc is not None \
+                                        else dfm.DF(jnp.zeros_like(z[0]))
+                            dfsys = ([res_df[ai] for ai in range(nn_k)], Jd)
+                        else:
+                            dfsys = None
                         if not stats:
-                            return res, J, Jq, None, None
+                            return res, J, Jq, None, None, dfsys
                         resmax = jnp.abs(res[0])
                         for ai in range(1, nn_k):
                             resmax = jnp.maximum(resmax, jnp.abs(res[ai]))
@@ -1072,7 +1116,7 @@ class FusedRunner:
                                 acc = t2 if acc is None else acc + t2
                             scale = acc if scale is None \
                                 else jnp.maximum(scale, acc)
-                        return res, J, Jq, resmax, scale
+                        return res, J, Jq, resmax, scale, dfsys
 
                     # Two-tier Newton (mixed-precision iterative refinement):
                     #   1. a cheap loop -- plain-f32 residuals, refine=0
@@ -1098,6 +1142,7 @@ class FusedRunner:
                     rel_gate_f = self.rel_gate if self.rel_gate is not None \
                         else (2.0e-6 if comp else 4.0e-6)
                     df_pol = self.df_polish
+                    df_slv = self.df_solve
                     df_final = df_pol in ("final", "plain_final")
                     plain_pol = df_pol == "plain_final"
                     rel_tol_pol = self.rel_tol_polish \
@@ -1120,7 +1165,7 @@ class FusedRunner:
                         def newton_iter(zs, prev_resmax, strikes,
                                         strikes_hi):
                             z = [zs[i1] for i1 in range(nn_k)]
-                            res, J, _, resmax, scale = eval_at(z, False)
+                            res, J, _, resmax, scale, _ = eval_at(z, False)
                             # relative tolerances capped at 1e4x their
                             # static anchors (see polish_eval: an uncapped
                             # relative gate self-certifies diverged lanes)
@@ -1273,7 +1318,7 @@ class FusedRunner:
                                 pf.append(base if acc is None
                                           else acc + base)
                             zl = [z_h[i1] for i1 in range(nn_k)]
-                            res, J, _, resmax, scale = eval_at(
+                            res, J, _, resmax, scale, _ = eval_at(
                                 zl, False, pf=pf)
                             gate_eff = jnp.clip(rel_gate_l * scale,
                                                 lgate_v, 1e4 * lgate_v)
@@ -1352,7 +1397,7 @@ class FusedRunner:
                         def d_body(s):
                             zs_c, _, k = s
                             zl = [zs_c[i1] for i1 in range(nn_k)]
-                            res, J, _, resmax, _ = eval_at(
+                            res, J, _, resmax, _, _ = eval_at(
                                 zl, "df" if df_pol else pol_mode)
                             ok = resmax < g0
                             dz = _solve_rows(
@@ -1406,7 +1451,8 @@ class FusedRunner:
                         digits, so the np_k extra RHS and the doubled
                         refined solve are pure waste there."""
                         z = [zs[i1] for i1 in range(nn_k)]
-                        res_c, J, Jq, resmax_c, scale_c = eval_at(
+                        (res_c, J, Jq, resmax_c, scale_c,
+                         dfsys) = eval_at(
                             z, pol_mode if mode is None else mode)
                         # relative gates track the live term scale, but
                         # capped at 1e4x their static (operating-point)
@@ -1448,8 +1494,21 @@ class FusedRunner:
                                     col.append(acc if acc is not None
                                                else jnp.zeros_like(z[0]))
                                 rhs.append(col)
-                        X = _solve_rows(J, rhs, refine=0 if light else refine,
-                                        pivot=True)
+                        if dfsys is not None:
+                            # double-float verdict solve (see df_solve):
+                            # df residual AND df Jacobian through a df
+                            # elimination; sensitivity columns ride along
+                            # (their f32 entries are exact as DF his)
+                            res_d, Jd = dfsys
+                            rhs_d = [res_d] + [[dfm.DF(cv) for cv in cc]
+                                               for cc in rhs[1:]]
+                            Xd = _solve_rows(Jd, rhs_d, refine=0,
+                                             pivot=True, xp=dfm)
+                            X = [[v.value() for v in row] for row in Xd]
+                        else:
+                            X = _solve_rows(J, rhs,
+                                            refine=0 if light else refine,
+                                            pivot=True)
                         dz = X[0]
                         fin = jnp.isfinite(resmax_c)
                         for ai in range(nn_k):
@@ -1614,7 +1673,7 @@ class FusedRunner:
                         zs_cur = z0s
                         for _ in range(fast):
                             zc = [zs_cur[i1] for i1 in range(nn_k)]
-                            res_f, J_f, _, _, _ = eval_at(zc, False,
+                            res_f, J_f, _, _, _, _ = eval_at(zc, False,
                                                           stats=False)
                             dzf = _solve_rows(
                                 J_f, [[res_f[ai] for ai in range(nn_k)]],

@@ -263,8 +263,11 @@ def main():
         from acme_tpu.engine import compile_model
         cm = compile_model(model)
         t0 = time.time()
-        state = cm.steady_initial_state(lane_values, (1, 2)) \
-            if args.powerup == "steady" else None
+        state = None
+        if args.powerup == "steady":
+            state = cm.steady_initial_state(lane_values, (1, 2))
+            log(f"steady_initial_state: {time.time()-t0:.1f}s")
+            t0 = time.time()
         y0, state, info = cm.run_sweep(u_time, lane_values, (1, 2),
                                        state=state)
         _ = np.asarray(y0[:1, :1, :8])

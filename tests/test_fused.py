@@ -351,3 +351,56 @@ def test_fused_fast_verify_rejected():
     with pytest.raises(ValueError, match="fast_verify"):
         FusedRunner(M.diodeclipper_model(), interpret=True,
                     compensated=False, fast_verify="bogus")
+
+
+def test_df_solve_resolves_cond_spike_systems():
+    """_solve_rows(xp=dfmath) must resolve the near-null direction of an
+    ill-conditioned system that a float32 solve leaves undetermined (the
+    residual-invisible z error at pot end-stops).  At cond 1e8 the f32
+    relative error is O(1); the double-float elimination must stay below
+    1e-5 (cond * eps_df ~ 1e8 * 1e-15, with headroom).  Reference gets
+    this for free in f64 (solvers.jl:46-132)."""
+    import jax.numpy as jnp
+
+    from acme_tpu.ops import dfmath as dfm
+    from acme_tpu.ops.fused import _solve_rows
+
+    rng = np.random.default_rng(7)
+    for n in (2, 3, 5):
+        for cond in (1e6, 1e8):
+            U, _ = np.linalg.qr(rng.normal(size=(n, n)))
+            V, _ = np.linalg.qr(rng.normal(size=(n, n)))
+            svals = np.logspace(0, -np.log10(cond), n)
+            A = ((U * svals) @ V.T).astype(np.float32).astype(np.float64)
+            x_true = rng.normal(size=n)
+            b = A @ x_true
+            x_ref = np.linalg.solve(A, b)
+            b_hi = b.astype(np.float32)
+            b_lo = (b - b_hi).astype(np.float32)
+            blk = lambda v: jnp.full((1, 128), np.float32(v))
+            Jdf = [[dfm.DF(blk(A[i, j])) for j in range(n)]
+                   for i in range(n)]
+            Rdf = [[dfm.DF(blk(b_hi[i]), blk(b_lo[i])) for i in range(n)]]
+            Xdf = _solve_rows(Jdf, Rdf, refine=0, pivot=True, xp=dfm)
+            nrm = max(abs(x_ref).max(), 1e-30)
+            err = max(abs(float(np.asarray(Xdf[0][i].hi, np.float64)[0, 0])
+                          + float(np.asarray(Xdf[0][i].lo,
+                                             np.float64)[0, 0])
+                          - x_ref[i]) for i in range(n)) / nrm
+            assert err < 1e-5, (n, cond, err)
+
+
+@pytest.mark.slow
+def test_fused_df_solve_wiring(clipper_ref):
+    """df_solve=True end-to-end through the kernel (interpret; the df
+    elimination is interpret-hostile, so tiny T)."""
+    u, y64 = clipper_ref
+    T = 64
+    fr = FusedRunner(M.diodeclipper_model(), time_chunk=32,
+                     newton_iters=12, tol=1e-9, interpret=True,
+                     df_polish="plain_final", df_solve=True)
+    y, st, info = fr.run(u[:, :T], np.zeros((128, 0)))
+    err = np.max(np.abs(np.asarray(y)[0, 0] - y64[0, :T]))
+    ref = np.max(np.abs(y64))
+    assert 20 * np.log10(err / ref) < -100
+    assert int(np.asarray(info.fails).sum()) == 0
