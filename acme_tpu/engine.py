@@ -179,9 +179,21 @@ class CompiledModel:
         L = u_lanes.shape[0]
         xs, zs, conv = steadystate_sweep(model, u_lanes, runin=runin)
         if not conv.all():
+            # Uncertified lanes get the standard COLD start, not the
+            # near-steady point: at bistable pot corners the uncertified
+            # point can be a wrong-root latch, and warm origins seeded
+            # there make every sample of the subsequent walk back to the
+            # host branch a homotopy grind (measured: a 16-lane run that
+            # completes in seconds from cold ground to a halt).  Cold
+            # lanes just power up normally.
             warnings.warn(f"steady_initial_state: {int((~conv).sum())}/{L} "
-                          "lanes did not certify steady; they start "
-                          "near-steady and settle dynamically.")
+                          "lanes did not certify steady; they start COLD "
+                          "and power up dynamically.")
+            xs = np.where(conv[:, None], xs, 0.0)
+            zs = np.where(conv[:, None],
+                          zs, np.concatenate([np.asarray(z0, float)
+                                              for z0 in model.init_zs])
+                          [None, :]) if zs.size else zs
         D = lambda m: jnp.asarray(m, self.dtype)
         warms = []
         off = 0
@@ -203,6 +215,29 @@ class CompiledModel:
             bad = ~np.isfinite(d).all(axis=(1, 2))
             if bad.any():
                 d[bad] = np.asarray(self._init_warm[k].dzdp, float)
+            # sensitivity sanity: at a cond-spike steady point the
+            # pinv-based dz/dp can reach ~1e6; the extrapolated start
+            # z0 = zw + dzdp (p - wp) then explodes as soon as the
+            # signal moves p, and every solve becomes a homotopy grind.
+            # The engine itself never installs such origins (singular
+            # points skip the update, newton.py dzdp_at); a zeroed
+            # sensitivity (constant warm start) is safe -- the first
+            # convergent solve replaces it with the engine's own.
+            if nn_k:
+                steep = np.abs(d).max(axis=(1, 2)) > 1e3
+                d[steep] = 0.0
+            if not conv.all():
+                # cold lanes carry the engine's exact init origin
+                # (p = 0, z = init_z, dzdp at that point) -- a wp
+                # computed from the cold state would claim init_z solves
+                # at p = Eq u, which is false at pot corners and sends
+                # the first homotopy down a garbage path
+                p_l = np.where(conv[:, None], p_l,
+                               np.asarray(self._init_warm[k].p,
+                                          float)[None])
+                d = np.where(conv[:, None, None], d,
+                             np.asarray(self._init_warm[k].dzdp,
+                                        float)[None])
             warms.append(WarmStart(p=D(p_l), z=D(zs[:, off:off + nn_k]),
                                    dzdp=D(d)))
             off += nn_k

@@ -2216,6 +2216,11 @@ class FusedRunner:
                     bad = ~np.isfinite(d).all(axis=(1, 2))
                     if bad.any():
                         d[bad] = p["dzdp0"][kk]
+                    # zero cond-spike sensitivities (see the engine's
+                    # steady_initial_state): an exploding extrapolated
+                    # warm start costs far more than a constant one
+                    steep = np.abs(d).max(axis=(1, 2)) > 1e3
+                    d[steep] = 0.0
                     dz_l[sel, doff:doff + nnk * npk] = d.reshape(
                         sel.size, -1)
                 off += npk
@@ -2224,8 +2229,8 @@ class FusedRunner:
         n_bad = int((~conv).sum())
         if n_bad:
             warnings.warn(f"steady_initial_state: {n_bad}/{L} lanes did "
-                          "not certify steady; they start near-steady and "
-                          "settle dynamically.")
+                          "not certify steady; they start COLD and power "
+                          "up dynamically.")
 
         def as_block(arr):                       # (L, n) -> (n, S, LANE)
             a_ = np.asarray(arr, np.float32)
@@ -2233,11 +2238,21 @@ class FusedRunner:
                 a_.T.reshape(-1, S, LANE)))
 
         xlo = x_l - x_l.astype(np.float32).astype(np.float64)
-        return {"x": as_block(x_l), "xlo": as_block(xlo),
-                "z": as_block(z_l), "zw": as_block(z_l),
-                "wp": as_block(wp_l), "dzdp": as_block(dz_l),
-                "pmode": jnp.zeros((max(self.nsub, 1), S, LANE),
-                                   jnp.float32)}
+        state = {"x": as_block(x_l), "xlo": as_block(xlo),
+                 "z": as_block(z_l), "zw": as_block(z_l),
+                 "wp": as_block(wp_l), "dzdp": as_block(dz_l),
+                 "pmode": jnp.zeros((max(self.nsub, 1), S, LANE),
+                                    jnp.float32)}
+        if n_bad:
+            # uncertified lanes (bistable pot corners: the near-steady
+            # point can be a wrong-root latch whose warm origins make
+            # every sample of the walk back a homotopy grind) start from
+            # the standard cold initial state instead
+            base = self.initial_state(L)
+            m_ok = jnp.asarray(conv.reshape(S, LANE))
+            state = {k: jnp.where(m_ok[None], v, base[k])
+                     for k, v in state.items()}
+        return state
 
     def _lane_tolerances(self, lane_values_centered, S):
         """Per-lane loop tolerance/gate (plain-f32 floor) and final

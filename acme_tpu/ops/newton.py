@@ -176,7 +176,17 @@ def _solve_impl(nl, nn, dtype, tol, maxiter, homotopy, max_homotopy_steps,
                 new_a = jnp.where(cc, 1.0, (s.a + s.best_a) / 2.0)
                 stuck = (~cc) & ~((s.best_a < new_a) & (new_a < s.a))
                 steps = s.steps + 1
-                done = (best_a >= 1.0) | stuck | (steps >= max_homotopy_steps)
+                # hopeless-path early exit: with best_a still 0 after 32
+                # halvings the path point is within 2^-32 of the warm
+                # origin and STILL fails -- the target tolerance is not
+                # reachable anywhere on the path (e.g. an operating point
+                # whose f64 residual floor sits above the absolute tol).
+                # Bisection would otherwise halve to float underflow:
+                # ~1075 steps x maxiter Newton = ~500k wasted iterations
+                # per solve, every sample.
+                hopeless = (best_a <= 0.0) & (steps >= 32)
+                done = (best_a >= 1.0) | stuck | hopeless \
+                    | (steps >= max_homotopy_steps)
                 new = _HomotopyState(a=new_a, best_a=best_a, warm=warm2,
                                      z=zz, conv=cc, steps=steps,
                                      iters=s.iters + its, done=done)

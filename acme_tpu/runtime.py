@@ -261,7 +261,7 @@ def steadystate_(model: DiscreteModel, u=None) -> np.ndarray:
     return xs
 
 
-def _solve_sub_batch(model, idx, p, z0, tol=1e-10, maxiter=60):
+def _solve_sub_batch(model, idx, p, z0, tol=1e-10, maxiter=200):
     """Warm-started batched Newton for one nonlinear subsystem over a lane
     axis: ``p`` (np_k, L), ``z0`` (nn_k, L) -> (z, conv (L,), Jq at z).
 
@@ -285,6 +285,7 @@ def _solve_sub_batch(model, idx, p, z0, tol=1e-10, maxiter=60):
     best_r = np.full(L, np.inf)
     conv = np.zeros(L, bool)
     since_imp = np.zeros(L, np.int32)
+    tsc_best = np.full(L, np.inf)
     Jq = np.zeros((nn_k, model.nq(idx), L))
     with np.errstate(all="ignore"):
         for _ in range(maxiter):
@@ -301,11 +302,14 @@ def _solve_sub_batch(model, idx, p, z0, tol=1e-10, maxiter=60):
             # absolute tolerance at its f64 evaluation floor counts as
             # solved (mirrors the fused kernel's stall semantics).  The
             # floor follows the residual's cancelling term magnitudes,
-            # sum_c |Jq| |q| per row (volt-scale pot rows vs mA-scale
-            # junction rows differ by orders of magnitude).
+            # sum_c |Jq| |q| per row -- measured at the BEST point only:
+            # a diverging live iterate inflates its own term scale and
+            # would self-certify garbage (the same trap the fused
+            # kernel's relative gates guard against).
             tscale = np.einsum("ijl,jl->il", np.abs(Jq_new),
                                np.abs(q)).max(0) if nn_k else 0.0
-            floor = np.maximum(64.0 * tol, 1e-12 * tscale)
+            tsc_best = np.where(improved, tscale, tsc_best)
+            floor = np.maximum(64.0 * tol, 1e-12 * tsc_best)
             conv = (best_r < tol) | ((since_imp >= 3) & (best_r < floor))
             active = finite & ~conv
             if not active.any():
@@ -319,9 +323,12 @@ def _solve_sub_batch(model, idx, p, z0, tol=1e-10, maxiter=60):
                 step = (np.linalg.pinv(J) @ r_l)[:, :, 0].T
             step = np.where(np.isfinite(step), step, 0.0)
             # scale down super-sized steps (the host leans on homotopy
-            # here; warm-started continuation keeps these rare)
+            # here; warm-started continuation keeps these rare).  The
+            # clip must stay well above legitimate z magnitudes (pot-row
+            # unknowns reach ~100 in these circuits) or near-singular
+            # lanes crawl instead of converging.
             smax = np.abs(step).max(0)
-            scale = np.where(smax > 10.0, 10.0 / np.maximum(smax, 1e-30),
+            scale = np.where(smax > 100.0, 100.0 / np.maximum(smax, 1e-30),
                              1.0)
             z = np.where(active, z - step * scale, best_z)
     return best_z, conv, Jq
@@ -513,14 +520,12 @@ def steadystate_sweep(model: DiscreteModel, u_lanes, runin: int = 512,
         final z, first-sample output, all-solves-certified flag).  The
         flag matters: a Newton candidate can sit at a point where a
         subsystem is only solvable to ~1e-4 (the alternating-mode cycle
-        MIDPOINT of the chain model) -- quiet in y, but seeding a solver
-        warm start there costs a homotopy grind on every sample."""
+        MIDPOINT of the chain model) -- quiet in y, but seeding a
+        solver warm start there costs a homotopy grind per sample."""
         xv, zv = x0v.copy(), z0v.copy()
-        certv = np.ones(L, bool)
         ys = []
         for _ in range(V):
             zv, cv, _ = track_z(xv, zv, uT)
-            certv &= cv
             if model.ny:
                 ys.append(dyv @ xv + eyv @ uT + fyv @ zv + y0v[:, None])
             xv = a @ xv + b @ uT + c @ zv + x0[:, None]
@@ -536,7 +541,7 @@ def steadystate_sweep(model: DiscreteModel, u_lanes, runin: int = 512,
         else:
             drift = (np.abs(xv - x0v) / scale[:, None]).max(axis=0)
             yfirst = np.zeros((0, L))
-        return drift, xv, zv, yfirst, certv
+        return drift, xv, zv, yfirst
 
     def newton_rounds(x, z):
         """Guarded Newton on the double-sample map g2(x) = f(f(x)) - x
@@ -601,8 +606,15 @@ def steadystate_sweep(model: DiscreteModel, u_lanes, runin: int = 512,
     x_run, z_run = x, z
     for attempt in range(max(attempts, 1)):
         xn, zn = newton_rounds(x_run, z_run)
-        drift_n, _, z_nv, y_n, cert_n = verify(xn, z_run)
-        drift_r, x_rv, z_rv, y_r, _ = verify(x_run, z_run)
+        drift_n, _, z_nv, y_n = verify(xn, z_run)
+        drift_r, x_rv, z_rv, y_r = verify(x_run, z_run)
+        # candidate solvability: tracked from the candidate's OWN z (the
+        # verify above warm-starts from the run-in branch on purpose, so
+        # its solves stall for ANY legitimate big jump).  This is what
+        # rejects the alternating-mode cycle midpoint, where a subsystem
+        # is only solvable to ~1e-4 -- quiet in y, but a homotopy grind
+        # per sample for any consumer seeded there.
+        _, cert_n, _ = track_z(xn, zn, uT)
         # per-lane slow-mode time constant from the BASELINE Jacobian
         # (on-branch by construction): tau = -1/ln|lam_slowest|, with
         # conserved / alternating modes (|lam| ~ 1) excluded and tau
@@ -666,8 +678,20 @@ def steadystate_sweep(model: DiscreteModel, u_lanes, runin: int = 512,
     # warm starts with this pair, and an inconsistent one costs them a
     # homotopy grind on the very first sample).
     best_z, convz_f, _ = track_z(best_x, best_z, uT)
+    # SOLVABILITY IS PART OF THE CONTRACT.  The chain-decomposed
+    # superover's exact steady state contains a dead-zone subsystem whose
+    # residual floor is ~4e-4 -- NO solver can certify it there (this is
+    # precisely why the reference marks this model's steady state
+    # @test_broken, test/runtests.jl:763-764), yet the OUTPUT is quiet
+    # and a drift-only certification would pass.  A consumer seeding
+    # solver warm starts at such a state pays a futile homotopy ladder
+    # on every sample.  conv therefore requires the final re-track to
+    # certify every subsystem.
     conv = (best_drift <= 1e-7 * vref) & convz_f \
         & np.isfinite(best_x).all(0) & np.isfinite(best_z).all(0)
+    if debug:                                       # pragma: no cover
+        print("SSWEEP final: drift:", best_drift, "convz_f:", convz_f,
+              "pre-host conv:", conv)
     # FINAL ARBITER: the host solver chain itself.  At dead-zone pot
     # corners the per-sample system is bistable at the SOLVER level: the
     # batched warm-tracked dynamics can latch a root (zero drift,
@@ -697,6 +721,9 @@ def steadystate_sweep(model: DiscreteModel, u_lanes, runin: int = 512,
                 drift_h = np.abs(yh[:, 2:] - yh[:, :-2]).max() \
                     if yh.shape[1] > 2 else 0.0
                 agree_h = np.abs(yh[:, 0] - y_cand[:, i]).max()
+                if debug:                           # pragma: no cover
+                    print(f"SSWEEP host lane {i}: drift_h={drift_h:.2e} "
+                          f"agree_h={agree_h:.2e} tol={tol_h:.2e}")
                 conv[i] = bool((drift_h <= tol_h) & (agree_h <= tol_h))
         finally:
             model.x[:] = x_save

@@ -81,7 +81,11 @@ def _scan_parity_worker(payload):
     from acme_tpu.engine import compile_model
 
     model = _build_model(sweep, variant, fs)
-    cm = compile_model(model)
+    # steady seeding: exact per-lane fixed points can sit at operating
+    # points whose f64 residual floor is just above the engine's strict
+    # 1e-10 absolute tolerance; a slightly relaxed tol keeps the solves
+    # certifying there (z error ~ cond * 1e-9, far below parity scale)
+    cm = compile_model(model, tol=1e-9 if powerup == "steady" else None)
     base = 0.2 * np.sin(2 * np.pi * 1000 / fs * np.arange(T))
     if sweep == "pots":
         lane_values = np.stack([drives, tones], axis=1)
@@ -261,7 +265,8 @@ def main():
         if args.sweep != "pots":
             raise SystemExit("--engine scan supports --sweep pots only")
         from acme_tpu.engine import compile_model
-        cm = compile_model(model)
+        cm = compile_model(model,
+                           tol=1e-9 if args.powerup == "steady" else None)
         t0 = time.time()
         state = None
         if args.powerup == "steady":
