@@ -185,6 +185,39 @@ def main():
         args.parity_lanes = 2
 
     import numpy as np
+
+    tpu_unavailable = False
+    if not args.smoke:
+        # The TPU sits behind a tunnel whose local forwarder can die (a
+        # >12 h outage was observed); jax backend init then HANGS rather
+        # than erroring.  Probe it in a bounded subprocess first and fall
+        # back to the honest CPU smoke configuration -- clearly marked --
+        # instead of hanging the whole benchmark run.
+        import subprocess
+        try:
+            probe = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax, jax.numpy as jnp; x = jnp.ones((128, 128)); "
+                 "(x @ x).block_until_ready(); print('TPU_OK')"],
+                capture_output=True, text=True, timeout=180)
+            probe_out, probe_err = probe.stdout, probe.stderr
+        except subprocess.TimeoutExpired:
+            probe_out, probe_err = "", "probe timed out after 180s"
+        if "TPU_OK" not in probe_out:
+            log("TPU unavailable (probe failed); falling back to the CPU "
+                "scan-engine smoke configuration")
+            log(probe_err.strip()[-300:])
+            tpu_unavailable = True
+            os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+            os.environ["JAX_PLATFORMS"] = "cpu"
+            args.smoke = True
+            args.lanes = 16
+            args.seconds = min(args.seconds, 0.005)
+            args.engine = "scan"
+            args.sweep = "pots"
+            args.reps = 1
+            args.parity_lanes = 2
+
     import jax
 
     if args.smoke:
@@ -220,6 +253,8 @@ def main():
         drive = tone = None
 
     extras = {}
+    if tpu_unavailable:
+        extras["tpu_unavailable"] = True
     if args.engine == "fused":
         from acme_tpu.ops.fused import FusedRunner
         t0 = time.time()
