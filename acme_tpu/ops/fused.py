@@ -295,8 +295,10 @@ class FusedRunner:
                  rel_tol_polish: float = None, polish_iters: int = 10,
                  polish_fixed: int = 0,
                  df_polish: bool = True, df_solve: bool = False,
+                 verdict_jac: str = "df", verdict_refine: int = None,
                  pivot: bool = True, group_lanes: int = 2048,
                  fast_iters: int = 0, fast_verify: str = "group",
+                 polish_only: bool = False,
                  fast_keep: str = "gate", stall_strikes: int = 2,
                  plateau_strikes: int = 6, compile_cache: bool = True,
                  powerup=None, powerup_samples: int = 4096,
@@ -334,6 +336,15 @@ class FusedRunner:
         # failing lanes fall back to the gated while-loop.  0 disables
         # (default: the blind steps trade ~15 dB of parity for ~20% speed).
         self.fast_iters = int(fast_iters)
+        # polish_only: enter the fast path with ZERO unguarded steps --
+        # the extrapolated warm start goes straight into the polish, whose
+        # mandatory first step doubles as the sample's one Newton step and
+        # whose residual is the verification (failing lanes redo the
+        # robust path exactly as with fast_iters > 0).  One plain
+        # evaluation cheaper per sample than fast_iters=1; viable when the
+        # warm start is already near the solution (steady-state chained
+        # runs with extrapolation).
+        self.polish_only = bool(polish_only)
         # fast-path verification policy when any lane fails the loose gate:
         #   "group": re-run the robust path for the whole group and keep
         #            its result for every lane (round-2 behavior);
@@ -377,7 +388,8 @@ class FusedRunner:
         if self.powerup_steady:
             powerup = None
         if powerup == "safe":
-            powerup = dict(fast_iters=0, extrapolate=False)
+            powerup = dict(fast_iters=0, extrapolate=False,
+                           polish_only=False)
         self.powerup_cfg = dict(powerup) if powerup else None
         self.powerup_samples = int(powerup_samples)
         self._pw_runner = None
@@ -449,6 +461,28 @@ class FusedRunner:
         # the residual is.  For nn <= 2 subsystems (the production chain
         # model) the df closed form costs ~10 extra df mults per sample.
         self.df_solve = bool(df_solve) and bool(self.df_polish)
+        # verdict_jac="plain": the final df verdict evaluates only the
+        # RESIDUAL in double-float physics; the Jacobian of the same point
+        # comes from a plain-f32 physics call (whose own residual output is
+        # dead code the compiler removes).  Classic mixed-precision
+        # iterative refinement: the residual sets the fixed point's
+        # accuracy, the Jacobian only the contraction rate, so a ~1e-7
+        # relative J is plenty for the one chord step taken here.  XLA
+        # then dead-code-eliminates the df-arithmetic Jacobian tail of the
+        # element physics (the 4-way BJT case split etc.), which is a
+        # material share of the verdict's cost.  Forced to "df" when
+        # df_solve needs the df Jacobian for its elimination.
+        if verdict_jac not in ("df", "plain"):
+            raise ValueError(f"verdict_jac must be df|plain, "
+                             f"got {verdict_jac!r}")
+        self.verdict_jac = "df" if self.df_solve else verdict_jac
+        # verdict_refine: iterative-refinement sweeps of the verdict
+        # step's elimination (default: the runner-wide ``refine``).  The
+        # verdict dz is itself a small correction, so its relative solve
+        # error is second-order in the final z -- 0 is safe away from
+        # cond(J) spikes and halves the verdict's elimination cost.
+        self.verdict_refine = int(refine if verdict_refine is None
+                                  else verdict_refine)
         self.lane_idx = tuple(int(i) for i in lane_input_idx)
         # lane-scaled inputs: time-varying rows multiplied by a per-lane
         # constant (e.g. one audio stream fanned out at 4096 input levels)
@@ -713,6 +747,9 @@ class FusedRunner:
         np_total, dz_total = self.np_total, self.dz_total
         K, step_clip = self.K, self.step_clip
         fast = self.fast_iters
+        pol_only = self.polish_only
+        vjac = self.verdict_jac
+        vrefine = self.verdict_refine
         stall_strikes = float(self.stall_strikes)
         plateau_strikes = float(self.plateau_strikes)
         extrap = self.extrapolate
@@ -1051,10 +1088,25 @@ class FusedRunner:
                             res_df, Jq_df = sub["nl"](dfm, dfm.DF(qv, q_lov))
                             res = res_df.hi + res_df.lo
                             Jq = Jq_df.hi + Jq_df.lo
+                        elif cmode == "df_res":
+                            # residual-only df verdict (verdict_jac=
+                            # "plain"): the df physics call's Jacobian
+                            # output and the plain call's residual output
+                            # are both dead code XLA eliminates -- what
+                            # executes is the df residual tail plus the
+                            # plain Jacobian tail over the SHARED plain
+                            # subexpressions
+                            q_lov = jnp.stack([jnp.broadcast_to(
+                                jnp.asarray(ql, jnp.float32), z[0].shape)
+                                for ql in q_lo])
+                            res_df, _ = sub["nl"](dfm, dfm.DF(qv, q_lov))
+                            res = res_df.hi + res_df.lo
+                            Jq_df = None
+                            _, Jq = sub["nl"](jnp, qv)
                         else:
                             res_df = Jq_df = None
                             res, Jq = sub["nl"](jnp, qv)
-                        if cmode and cmode != "df":
+                        if cmode and cmode not in ("df", "df_res"):
                             # first-order correction: res(q_hi + q_lo)
                             # ~= res(q_hi) + Jq q_lo
                             corr = []
@@ -1451,9 +1503,9 @@ class FusedRunner:
                         digits, so the np_k extra RHS and the doubled
                         refined solve are pure waste there."""
                         z = [zs[i1] for i1 in range(nn_k)]
+                        mode_eff = pol_mode if mode is None else mode
                         (res_c, J, Jq, resmax_c, scale_c,
-                         dfsys) = eval_at(
-                            z, pol_mode if mode is None else mode)
+                         dfsys) = eval_at(z, mode_eff)
                         # relative gates track the live term scale, but
                         # capped at 1e4x their static (operating-point)
                         # anchors: a diverged-but-finite z inflates `scale`
@@ -1506,9 +1558,10 @@ class FusedRunner:
                                              pivot=True, xp=dfm)
                             X = [[v.value() for v in row] for row in Xd]
                         else:
-                            X = _solve_rows(J, rhs,
-                                            refine=0 if light else refine,
-                                            pivot=True)
+                            rf = 0 if light else (
+                                vrefine if mode_eff in ("df", "df_res")
+                                else refine)
+                            X = _solve_rows(J, rhs, refine=rf, pivot=True)
                         dz = X[0]
                         fin = jnp.isfinite(resmax_c)
                         for ai in range(nn_k):
@@ -1647,7 +1700,8 @@ class FusedRunner:
                             # freshest dz/dp sensitivity
                             (dzf, colsf, rm_df, lgf, gff, tpf, _tl,
                              finf) = \
-                                polish_eval(zp, mode="df")
+                                polish_eval(zp, mode="df" if vjac == "df"
+                                            else "df_res")
                             tp = jnp.where(finf, tpf, tp)
                             zp = jnp.stack([
                                 jnp.where(finf, zp[ai] - jnp.clip(
@@ -1664,12 +1718,15 @@ class FusedRunner:
                         return (zp, cols, rm, rm1, tl1, lg, gf, tp, pstall,
                                 k)
 
-                    if fast > 0:
+                    if fast > 0 or pol_only:
                         # unguarded fast path: ``fast`` plain Newton steps
                         # with no masks, gates or reductions at all -- the
                         # polish residual is the verification.  Lanes it
                         # fails (transients, branch changes) fall into the
                         # robust while-loop path, re-polished after.
+                        # (polish_only: zero fast steps -- the extrapolated
+                        # start goes straight into the polish, whose
+                        # mandatory first step is the sample's Newton step.)
                         zs_cur = z0s
                         for _ in range(fast):
                             zc = [zs_cur[i1] for i1 in range(nn_k)]
@@ -2329,9 +2386,15 @@ class FusedRunner:
                       "stall_strikes", "plateau_strikes"):
                 if k in cfg:
                     setattr(r, k, int(cfg.pop(k)))
-            for k in ("extrapolate", "compensated", "pivot", "df_state"):
+            for k in ("extrapolate", "compensated", "pivot", "df_state",
+                      "polish_only"):
                 if k in cfg:
                     setattr(r, k, bool(cfg.pop(k)))
+            if "verdict_jac" in cfg:
+                v = str(cfg.pop("verdict_jac"))
+                r.verdict_jac = "df" if r.df_solve else v
+            if "verdict_refine" in cfg:
+                r.verdict_refine = int(cfg.pop("verdict_refine"))
             if cfg:
                 raise ValueError(f"unknown powerup override(s): "
                                  f"{sorted(cfg)}")
