@@ -20,10 +20,22 @@ CONFIGS = {
     "fast2":       dict(fast_iters=2),
     "pol1":        dict(polish_iters=1),
     "tc512":       dict(time_chunk=512),
+    "polonly":     dict(polish_only=True),
+    "vjplain":     dict(verdict_jac="plain"),
+    "vref0":       dict(verdict_refine=0),
+    "noextrap":    dict(extrapolate=False),
+    "polfix2":     dict(polish_fixed=2),
+    "polfix3":     dict(polish_fixed=3),
+    "comp_off":    dict(compensated=False, df_polish=False),
 }
 
 def main():
     names = sys.argv[1:] or list(CONFIGS)
+    # 'base' must run first: it is the accuracy reference for every other
+    # config's vs-base dB column
+    if "base" in names:
+        names.remove("base")
+    names.insert(0, "base")
     fs = 44100
     T = 44100
     L = 4096
@@ -47,7 +59,7 @@ def main():
     # power up once with the base config
     t0 = time.time()
     fr0 = FusedRunner(model, lane_scale_idx=(0,), **base_kw)
-    y0, state0, _ = fr0.run(u_time, lane_values)
+    y0, state0, _ = fr0.run(u_time, lane_values, check=False)
     _ = np.asarray(y0[:1, :1, :8])
     print(f"base power-up {time.time()-t0:.1f}s", flush=True)
 
@@ -59,12 +71,14 @@ def main():
         kw["powerup"] = None  # chained runs only
         fr = FusedRunner(model, lane_scale_idx=(0,), **kw)
         t0 = time.time()
-        y, state, info = fr.run(u_time, lane_values, state=state0)
+        y, state, info = fr.run(u_time, lane_values, state=state0,
+                                check=False)
         _ = np.asarray(y[:1, :1, :8])
         print(f"  {name}: compile+warm {time.time()-t0:.1f}s", flush=True)
         t0 = time.time()
         for _ in range(reps):
-            y, state, info = fr.run(u_time, lane_values, state=state)
+            y, state, info = fr.run(u_time, lane_values, state=state,
+                                    check=False)
         _ = np.asarray(y[:1, :1, :8])
         wall = (time.time() - t0) / reps
         rt = (T / fs) / wall
@@ -73,12 +87,11 @@ def main():
         yh = np.asarray(y[:, 0, :])
         if name == "base":
             y_base = yh
-        if y_base is not None:
+            db = float("nan")  # base vs itself is meaningless
+        else:
             ref = max(float(np.max(np.abs(y_base))), 1e-12)
             db = 20 * np.log10(float(np.max(np.abs(yh - y_base))) / ref
                                + 1e-300)
-        else:
-            db = float("nan")
         results[name] = (rt, fails.mean(), int(fails.max()),
                          iters.mean() / T, db)
         print(f"  {name}: RT/lane {rt:.2f}x  fails mean {fails.mean():.2f} "

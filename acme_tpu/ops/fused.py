@@ -273,6 +273,13 @@ def _solve_raw(J, R, pivot=True, xp=jnp):
     return X
 
 
+@jax.jit
+def _fused_finite_fails(y, fails):
+    """Device-side reduction for the user-level failure check: two scalars
+    instead of the full (L, ny, T) output (engine.py _finite_conv)."""
+    return jnp.all(jnp.isfinite(y)), fails.sum()
+
+
 class FusedRunner:
     """Compile a DiscreteModel into a fused Pallas sweep runner.
 
@@ -1492,7 +1499,8 @@ class FusedRunner:
                         return jax.lax.cond(_all_pass(st), lambda a: a,
                                             df_rescue, st)
 
-                    def polish_eval(zs, mode=None, light=False):
+                    def polish_eval(zs, mode=None, light=False,
+                                    verdict=False):
                         """One compensated evaluation + shared elimination
                         X = J \\ [res | Jp] at zs.  ``light`` drops the
                         sensitivity columns and the solve refinement --
@@ -1558,9 +1566,14 @@ class FusedRunner:
                                              pivot=True, xp=dfm)
                             X = [[v.value() for v in row] for row in Xd]
                         else:
-                            rf = 0 if light else (
-                                vrefine if mode_eff in ("df", "df_res")
-                                else refine)
+                            # vrefine applies ONLY to the explicit final
+                            # verdict call site (its dz is a small
+                            # correction, second-order in the final z) --
+                            # NOT to every df-mode polish-loop elimination
+                            # (with df_polish=True those take real Newton
+                            # steps, where dropping refinement is unsafe)
+                            rf = 0 if light else (vrefine if verdict
+                                                  else refine)
                             X = _solve_rows(J, rhs, refine=rf, pivot=True)
                         dz = X[0]
                         fin = jnp.isfinite(resmax_c)
@@ -1701,7 +1714,7 @@ class FusedRunner:
                             (dzf, colsf, rm_df, lgf, gff, tpf, _tl,
                              finf) = \
                                 polish_eval(zp, mode="df" if vjac == "df"
-                                            else "df_res")
+                                            else "df_res", verdict=True)
                             tp = jnp.where(finf, tpf, tp)
                             zp = jnp.stack([
                                 jnp.where(finf, zp[ai] - jnp.clip(
@@ -2392,6 +2405,9 @@ class FusedRunner:
                     setattr(r, k, bool(cfg.pop(k)))
             if "verdict_jac" in cfg:
                 v = str(cfg.pop("verdict_jac"))
+                if v not in ("df", "plain"):
+                    raise ValueError(f"verdict_jac must be df|plain, "
+                                     f"got {v!r}")
                 r.verdict_jac = "df" if r.df_solve else v
             if "verdict_refine" in cfg:
                 r.verdict_refine = int(cfg.pop("verdict_refine"))
@@ -2401,9 +2417,36 @@ class FusedRunner:
             self._pw_runner = r
         return self._pw_runner
 
-    def run(self, u_time, lane_values, state=None):
+    def _check_outputs(self, y, info):
+        """Surface the reference's mid-run failure semantics at the user
+        level (ACME.jl:688-694: warn on non-convergence, error on
+        non-finite): a device-side two-scalar reduction (the engine's
+        _finite_conv pattern, engine.py:62-66), then one tiny host fetch --
+        a production run with garbage lanes cannot complete silently."""
+        finite, nfail = _fused_finite_fails(y, info.fails)
+        if not bool(finite):
+            raise RuntimeError(
+                "fused run produced non-finite output; inspect "
+                "FusedInfo.fails for the offending lanes (reference "
+                "semantics: ACME.jl:692-694)")
+        nfail = int(nfail)
+        if nfail:
+            warnings.warn(
+                f"fused run: {nfail} subsystem solve(s) across all lanes "
+                "and samples missed the acceptance gate (solution kept, "
+                "output may be degraded on those lanes; see "
+                "FusedInfo.fails). Reference warn path: ACME.jl:688-691.")
+
+    def run(self, u_time, lane_values, state=None, check=True):
         """u_time: (nu_t, T); lane_values: (L, nu_l); returns
-        (y (L, ny, T), state, fail_counts (L,))."""
+        (y (L, ny, T), state, fail_counts (L,)).
+
+        ``check=True`` (default) runs a device-side finiteness/convergence
+        reduction after the kernel and warns (non-convergence) or raises
+        (non-finite output) on the host -- the reference's mid-run failure
+        semantics (ACME.jl:688-694).  Pass ``check=False`` in latency-
+        critical chained loops to keep runs fully asynchronous (each check
+        costs one host round-trip); inspect ``FusedInfo`` yourself then."""
         if state is None and self.powerup_steady:
             state = self.steady_initial_state(lane_values)
         if state is None and self.powerup_cfg is not None:
@@ -2412,12 +2455,17 @@ class FusedRunner:
             W = min(self.powerup_samples, T0)
             pr = self._powerup_runner()
             if W >= T0:
-                return pr.run(ut, lane_values, state=None)
-            y1, state, info1 = pr.run(ut[:, :W], lane_values, state=None)
-            y2, state, info2 = self.run(ut[:, W:], lane_values, state=state)
+                return pr.run(ut, lane_values, state=None, check=check)
+            y1, state, info1 = pr.run(ut[:, :W], lane_values, state=None,
+                                      check=False)
+            y2, state, info2 = self.run(ut[:, W:], lane_values, state=state,
+                                        check=False)
             y = jnp.concatenate([y1, y2], axis=2)
-            return y, state, FusedInfo(fails=info1.fails + info2.fails,
-                                       iters=info1.iters + info2.iters)
+            info = FusedInfo(fails=info1.fails + info2.fails,
+                             iters=info1.iters + info2.iters)
+            if check:
+                self._check_outputs(y, info)
+            return y, state, info
         u_time = np.asarray(u_time, float) \
             - self.u_ss[list(self.time_idx)][:, None]
         u_time = u_time.astype(np.float32)
@@ -2485,4 +2533,6 @@ class FusedRunner:
         info = FusedInfo(
             fails=fails.reshape(-1),
             iters=jnp.transpose(iters, (1, 2, 0)).reshape(S * LANE, -1))
+        if check:
+            self._check_outputs(y, info)
         return y, state, info

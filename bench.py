@@ -270,7 +270,7 @@ def main():
                          **lane_cfg)
         log(f"runner build (centering + floors): {time.time()-t0:.1f}s")
         t0 = time.time()
-        y0, state, info0 = fr.run(u_time, lane_values)
+        y0, state, info0 = fr.run(u_time, lane_values, check=False)
         _ = np.asarray(y0[:1, :1, :8])  # sync: true completion (tiny fetch)
         compile_s = time.time() - t0
         f0 = np.asarray(info0.fails)
@@ -282,12 +282,17 @@ def main():
         # first run compiled different time shapes than the chained runs,
         # so the full-T fast kernel compiles here, not in the timed loop
         t0 = time.time()
-        y, state, info = fr.run(u_time, lane_values, state=state)
+        y, state, info = fr.run(u_time, lane_values, state=state,
+                                check=False)
         _ = np.asarray(y[:1, :1, :8])
         log(f"warmup chained run: {time.time()-t0:.1f}s")
         t0 = time.time()
+        # check=False keeps the chained runs fully asynchronous (the
+        # user-level failure check costs one host round-trip per run);
+        # fails are inspected from FusedInfo below instead
         for _ in range(args.reps):
-            y, state, info = fr.run(u_time, lane_values, state=state)
+            y, state, info = fr.run(u_time, lane_values, state=state,
+                                    check=False)
         _ = np.asarray(y[:1, :1, :8])  # sync
         wall = (time.time() - t0) / args.reps
         fails = np.asarray(info.fails)
