@@ -20,7 +20,15 @@ CONFIGS = {
     "fast2":       dict(fast_iters=2),
     "pol1":        dict(polish_iters=1),
     "tc512":       dict(time_chunk=512),
-    "polonly":     dict(polish_only=True),
+    "polonly":     dict(polish_only=True, fast_iters=0),
+    "polfix1":     dict(polish_fixed=1),
+    # candidate production configs (combined knobs)
+    "fix2v":       dict(polish_fixed=2, verdict_refine=0,
+                        verdict_jac="plain"),
+    "fix1v":       dict(polish_fixed=1, verdict_refine=0,
+                        verdict_jac="plain"),
+    "minimal":     dict(polish_fixed=1, df_polish=False,
+                        compensated=False),
     "vjplain":     dict(verdict_jac="plain"),
     "vref0":       dict(verdict_refine=0),
     "noextrap":    dict(extrapolate=False),
