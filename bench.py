@@ -148,8 +148,23 @@ def main():
                     help="unguarded Newton steps per sample before the "
                          "verifying polish (production default 1; 0 = "
                          "fully gated loop)")
+    ap.add_argument("--polish-only", action="store_true",
+                    help="zero unguarded fast steps: the extrapolated warm "
+                         "start goes straight into the polish, whose "
+                         "mandatory first step is the sample's Newton step")
+    ap.add_argument("--polish-fixed", type=int, default=0,
+                    help="exactly N unrolled masked polish steps instead "
+                         "of the early-exiting while loop (0 = loop); "
+                         "ablations show fixed-trip removes the "
+                         "per-iteration group reduction cost")
+    ap.add_argument("--verdict-refine", type=int, default=None,
+                    help="iterative-refinement sweeps of the final "
+                         "verdict elimination (default: runner refine)")
+    ap.add_argument("--verdict-jac", default="df", choices=["df", "plain"],
+                    help="Jacobian precision of the final df verdict")
     ap.add_argument("--df-polish", default="plain_final",
-                    choices=["plain_final", "final", "full", "off"],
+                    choices=["plain_final", "comp_final", "final", "full",
+                             "off"],
                     help="double-float polish mode (plain_final = plain-f32 "
                          "polish loop + one df eval/step per sample, the "
                          "production default)")
@@ -258,13 +273,18 @@ def main():
     if args.engine == "fused":
         from acme_tpu.ops.fused import FusedRunner
         t0 = time.time()
-        df_polish = {"plain_final": "plain_final", "final": "final",
+        df_polish = {"plain_final": "plain_final",
+                     "comp_final": "comp_final", "final": "final",
                      "full": True, "off": False}[args.df_polish]
         gl = args.group_lanes if args.group_lanes > 0 else L
         fr = FusedRunner(model, newton_iters=args.newton_iters, tol=1e-9,
                          group_lanes=gl, interpret=args.smoke,
                          fast_iters=args.fast_iters, df_polish=df_polish,
                          fast_verify="merge",
+                         polish_only=args.polish_only,
+                         polish_fixed=args.polish_fixed,
+                         verdict_refine=args.verdict_refine,
+                         verdict_jac=args.verdict_jac,
                          powerup={"safe": "safe", "none": None,
                                   "steady": "steady"}[args.powerup],
                          **lane_cfg)

@@ -279,6 +279,28 @@ def test_fused_df_final_polish(clipper_ref):
     assert 20 * np.log10(err / np.max(np.abs(y64))) < -100
 
 
+def test_fused_comp_final_with_polish_prefix(clipper_ref):
+    """The round-4 production configuration: plain polish loop with a
+    2-step unrolled prefix + while-loop continuation for tail lanes, and
+    a single COMPENSATED (first-order-corrected) verdict eval/step per
+    sample (~2x a plain eval instead of ~10x full-df; measured 2.57x ->
+    4.07x RT/lane on TPU at a 2.8 dB steady-parity cost)."""
+    u, y64 = clipper_ref
+    fr = FusedRunner(M.diodeclipper_model(), newton_iters=12, tol=1e-9,
+                     time_chunk=128, interpret=True, fast_iters=1,
+                     fast_verify="merge", df_polish="comp_final",
+                     polish_fixed=2)
+    y, st, info = fr.run(u[:, :128], np.zeros((128, 0)))
+    assert int(np.asarray(info.fails).max()) == 0
+    err = np.max(np.abs(np.asarray(y)[0, 0] - y64[0, :128]))
+    assert 20 * np.log10(err / np.max(np.abs(y64))) < -100
+    # df_solve requires a df-mode verdict; comp_final must force it off
+    fr2 = FusedRunner(M.diodeclipper_model(), newton_iters=12, tol=1e-9,
+                      time_chunk=128, interpret=True,
+                      df_polish="comp_final", df_solve=True)
+    assert fr2.df_solve is False
+
+
 def test_fused_two_phase_powerup(clipper_ref):
     """powerup="safe": first ``powerup_samples`` of a fresh-state run go
     through the conservative sibling config, then the state is handed to
