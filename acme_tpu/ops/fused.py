@@ -395,8 +395,16 @@ class FusedRunner:
         if self.powerup_steady:
             powerup = None
         if powerup == "safe":
-            powerup = dict(fast_iters=0, extrapolate=False,
-                           polish_only=False)
+            # strongest verdict tier during the transient: the window is
+            # ~powerup_samples of the run, so the full-df verdict's cost
+            # is amortized away while the hard-clip samples get the
+            # 1e-14-floor residual (a comp_final verdict in the safe
+            # window measured -88.8 dB power-up parity at the smallest
+            # level lane; full-df holds the -95 dB target)
+            # (_powerup_runner degrades df_polish to False when the main
+            # runner is not compensated)
+            powerup = dict(fast_iters=0, extrapolate="track",
+                           polish_only=False, df_polish="final")
         self.powerup_cfg = dict(powerup) if powerup else None
         self.powerup_samples = int(powerup_samples)
         self._pw_runner = None
@@ -410,7 +418,17 @@ class FusedRunner:
         self.step_clip = float(step_clip)
         self.Tc = int(time_chunk)
         self.interpret = interpret
-        self.extrapolate = bool(extrapolate)
+        # extrapolate: True = use + maintain the extrapolated warm start;
+        # "track" = MAINTAIN the (zw, wp, dzdp) origin but start Newton at
+        # zw (no extrapolated jump).  The safe power-up runner uses
+        # "track": using extrapolation during hard-clip transients was
+        # measured to throw lanes onto wrong roots, but NOT maintaining
+        # the sensitivity handed a stale dzdp to the fast runner at the
+        # two-phase handoff -- a single-sample ~1e-4-relative glitch at
+        # t = powerup_samples + 1 (the round-3 bench's -79.9 dB power-up
+        # worst, lane 451).  False = neither use nor maintain.
+        self.extrapolate = "track" if extrapolate == "track" \
+            else bool(extrapolate)
         self.refine = int(refine)
         self.compensated = bool(compensated)
         self.df_state = bool(df_state)
@@ -767,7 +785,8 @@ class FusedRunner:
         vrefine = self.verdict_refine
         stall_strikes = float(self.stall_strikes)
         plateau_strikes = float(self.plateau_strikes)
-        extrap = self.extrapolate
+        extrap = bool(self.extrapolate)          # maintain origin/dzdp
+        extrap_use = self.extrapolate is True    # use extrapolated starts
         refine = self.refine
         comp = self.compensated
         dfs = self.df_state
@@ -783,6 +802,10 @@ class FusedRunner:
         a, b, c, x0 = P["a"], P["b"], P["c"], P["x0"]
         dy, ey, fy, y0 = P["dy"], P["ey"], P["fy"], P["y0"]
         a_sp = [[SP(v) for v in row] for row in a]
+        dy_sp = [[SP(v) for v in row] for row in dy]
+        ey_sp = [[SP(v) for v in row] for row in ey]
+        fy_sp = [[SP(v) for v in row] for row in fy]
+        y0_sp = [SP(v) for v in y0]
         b_sp = [[SP(v) for v in row] for row in b]
         c_sp = [[SP(v) for v in row] for row in c]
         x0_sp = [SP(v) for v in x0]
@@ -901,11 +924,12 @@ class FusedRunner:
         pivot = self.pivot
 
         def kernel(u_ref, lane_ref, tol_ref, gate_ref, ch_ref, cl_ref,
-                   x_in, xlo_in, z_in, zw_in, wp_in, dzdp_in, pmode_in,
-                   y_ref, x_out, xlo_out, z_out, zw_out, wp_out, dzdp_out,
-                   pmode_out, fail_out, iters_out,
-                   x_s, xlo_s, z_s, zw_s, wp_s, dzdp_s, pmode_s, fail_s,
-                   iters_s):
+                   x_in, xlo_in, z_in, zlo_in, zw_in, wp_in, dzdp_in,
+                   pmode_in,
+                   y_ref, x_out, xlo_out, z_out, zlo_out, zw_out, wp_out,
+                   dzdp_out, pmode_out, fail_out, iters_out,
+                   x_s, xlo_s, z_s, zlo_s, zw_s, wp_s, dzdp_s, pmode_s,
+                   fail_s, iters_s):
             # grid = (lane groups, time chunks), time fastest: each group
             # runs its whole time axis with state resident in VMEM scratch,
             # then the next group starts (re-initializing from its in-block)
@@ -919,6 +943,8 @@ class FusedRunner:
                         xlo_s[...] = xlo_in[...]
                 if nn_total:
                     z_s[...] = z_in[...]
+                    if dfs:
+                        zlo_s[...] = zlo_in[...]
                     zw_s[...] = zw_in[...]
                 if np_total:
                     wp_s[...] = wp_in[...]
@@ -950,7 +976,18 @@ class FusedRunner:
                     u_full[gidx] = u_full[gidx] * lane_vals[nu_l + jj]
                 x_v = [x_s[j] for j in range(nx)]
                 x_lo = [xlo_s[j] for j in range(nx)] if dfs else None
+                # z carried as an unevaluated (hi, lo) pair, like x: the
+                # f32 quantization of z alone (~6e-8 |z| ~ 3.6e-7 V on the
+                # junction components) feeds the next sample's p and the
+                # state update, and the circuit dynamics amplify it into a
+                # flat ~-95 dB output floor that NO solver tier could beat
+                # (measured: max-accuracy full-df config floors at the
+                # same place as the production config).  The lo part is
+                # the two_sum remainder of the final verdict step -- exact
+                # capture of the representation error at ~zero cost.
                 z_all = [z_s[j] for j in range(nn_total)]
+                z_lo_all = [zlo_s[j] for j in range(nn_total)] if dfs \
+                    else None
                 any_fail = None
                 for ksub, sub in enumerate(subs):
                     nn_k, np_k, nq_k = sub["nn"], sub["np"], sub["nq"]
@@ -983,7 +1020,7 @@ class FusedRunner:
                                 hi, lo = dot_df(sub["eq_sp"][i], u_full,
                                                 init=(hi, lo))
                                 hi, lo = dot_df(sub["fqprev_sp"][i], z_all,
-                                                init=(hi, lo))
+                                                z_lo_all, init=(hi, lo))
                                 acc = hi + lo
                             else:
                                 acc = None
@@ -1023,7 +1060,7 @@ class FusedRunner:
                             pfull.append(base if acc is None else acc + base)
 
                     # extrapolated warm start (solvers.jl:209-215)
-                    if extrap and np_k:
+                    if extrap_use and np_k:
                         dp = [p[i] - wp_s[po + i] for i in range(np_k)]
                         z0 = []
                         for i1 in range(nn_k):
@@ -1741,11 +1778,19 @@ class FusedRunner:
                              finf) = \
                                 polish_eval(zp, mode=vmode, verdict=True)
                             tp = jnp.where(finf, tpf, tp)
-                            zp = jnp.stack([
-                                jnp.where(finf, zp[ai] - jnp.clip(
-                                    dzf[ai], -zclip[ai], zclip[ai]),
-                                    zp[ai])
-                                for ai in range(nn_k)])
+                            # final step via two_sum: hi is the f32 new z,
+                            # lo the EXACT subtraction remainder -- the z
+                            # carry's lo channel (see z_lo_all above)
+                            zp_n, zlo_n = [], []
+                            for ai in range(nn_k):
+                                dzc = jnp.clip(dzf[ai], -zclip[ai],
+                                               zclip[ai])
+                                hi2, lo2 = _two_sum(zp[ai], -dzc)
+                                zp_n.append(jnp.where(finf, hi2, zp[ai]))
+                                zlo_n.append(jnp.where(
+                                    finf, lo2, jnp.zeros_like(lo2)))
+                            zp = jnp.stack(zp_n)
+                            zlo = jnp.stack(zlo_n)
                             rm = jnp.where(finf, rm_df, rm)
                             lg = jnp.where(finf, lgf, lg)
                             gf = jnp.where(finf, gff, gf)
@@ -1753,8 +1798,10 @@ class FusedRunner:
                                 jnp.broadcast_to(finf, cols.shape),
                                 colsf, cols)
                             k = k + 1
-                        return (zp, cols, rm, rm1, tl1, lg, gf, tp, pstall,
-                                k)
+                        else:
+                            zlo = jnp.zeros_like(zp)
+                        return (zp, zlo, cols, rm, rm1, tl1, lg, gf, tp,
+                                pstall, k)
 
                     if fast > 0 or pol_only:
                         # unguarded fast path: ``fast`` plain Newton steps
@@ -1780,7 +1827,7 @@ class FusedRunner:
                                 jnp.where(okf, zc[ai] - jnp.clip(
                                     dzf[ai], -zclip[ai], zclip[ai]), zc[ai])
                                 for ai in range(nn_k)])
-                        (zp, cols, resmax_c, rm1, tl1, lgate_eff,
+                        (zp, zlo, cols, resmax_c, rm1, tl1, lgate_eff,
                          gate_eff_f, tol_pf, pstall, kp) = \
                             polish_all(zs_cur)
                         itv0 = jnp.full(zp.shape[1:], float(fast),
@@ -1823,13 +1870,14 @@ class FusedRunner:
                             | ((rm1 < tl1) & (pstall > 0.5))
 
                         def keep(args):
-                            zs_c, zp, cols, rm, gf, ps, itv = args
-                            return zp, cols, rm, gf, ps, itv
+                            zs_c, zp, zlo, cols, rm, gf, ps, itv = args
+                            return zp, zlo, cols, rm, gf, ps, itv
 
                         def redo(args):
-                            zs_c, zp_k, cols_k, rm_k, gf_k, ps_k, itv = args
+                            (zs_c, zp_k, zlo_k, cols_k, rm_k, gf_k, ps_k,
+                             itv) = args
                             zs4, r4, g4, itv4, _ = full_solve(zs_c)
-                            (zp2, cols2, rm2, _, _, _, gf2, _, ps2,
+                            (zp2, zlo2, cols2, rm2, _, _, _, gf2, _, ps2,
                              kp2) = polish_all(zs4)
                             if self.fast_verify == "merge":
                                 # keep the redone result only for lanes
@@ -1843,6 +1891,8 @@ class FusedRunner:
                                     jnp.where(jnp.broadcast_to(
                                         need, zp2.shape), zp2, zp_k),
                                     jnp.where(jnp.broadcast_to(
+                                        need, zlo2.shape), zlo2, zlo_k),
+                                    jnp.where(jnp.broadcast_to(
                                         need, cols2.shape), cols2, cols_k),
                                     jnp.where(need, rm2, rm_k),
                                     jnp.where(need, gf2, gf_k),
@@ -1851,23 +1901,23 @@ class FusedRunner:
                                         need,
                                         itv4 + kp2.astype(jnp.float32),
                                         0.0))
-                            return (zp2, cols2, rm2, gf2, ps2,
+                            return (zp2, zlo2, cols2, rm2, gf2, ps2,
                                     itv + itv4 + kp2.astype(jnp.float32))
 
                         if self.fast_verify == "always":
-                            (zp, cols, resmax_c, gate_eff_f, pstall,
+                            (zp, zlo, cols, resmax_c, gate_eff_f, pstall,
                              itv_t) = redo(
-                                (zs_cur, zp, cols, resmax_c, gate_eff_f,
-                                 pstall, itv0))
+                                (zs_cur, zp, zlo, cols, resmax_c,
+                                 gate_eff_f, pstall, itv0))
                         else:
-                            (zp, cols, resmax_c, gate_eff_f, pstall,
+                            (zp, zlo, cols, resmax_c, gate_eff_f, pstall,
                              itv_t) = jax.lax.cond(
                                 jnp.all(ok1), keep, redo,
-                                (zs_cur, zp, cols, resmax_c, gate_eff_f,
-                                 pstall, itv0))
+                                (zs_cur, zp, zlo, cols, resmax_c,
+                                 gate_eff_f, pstall, itv0))
                     else:
                         zs4, r4, g4, itv4, _ = full_solve(z0s)
-                        (zp, cols, resmax_c, _, _, _, gate_eff_f, _,
+                        (zp, zlo, cols, resmax_c, _, _, _, gate_eff_f, _,
                          pstall, kp) = polish_all(zs4)
                         itv_t = itv4 + kp.astype(jnp.float32)
 
@@ -1896,6 +1946,9 @@ class FusedRunner:
                     zsub = fail_k & implaus
                     for i1 in range(nn_k):
                         z_all[o + i1] = jnp.where(zsub, zw_s[o + i1], z[i1])
+                        if dfs:
+                            z_lo_all[o + i1] = jnp.where(
+                                zsub, jnp.zeros_like(zlo[i1]), zlo[i1])
 
                     # move the extrapolation origin (solvers.jl:220-234),
                     # in two parts with different trust requirements:
@@ -1949,18 +2002,22 @@ class FusedRunner:
                 # float32 term rounding into an audible error floor.
                 for oi in range(ny):
                     if dfs:
-                        # readout in plain f32 plus the state's lo-part
-                        # contribution: unlike the state recurrence, the
-                        # output row does not integrate rounding over
-                        # time, so term-level EFTs (~15 flops/term) buy
-                        # nothing audible over plain dots (~2) once the
-                        # lo components are included
-                        acc = dotv(dy[oi], x_v)
-                        acc = dotv(dy[oi], x_lo, acc)
-                        acc = dotv(ey[oi], u_full, acc)
-                        acc = dotv(fy[oi], z_all, acc)
-                        val = cval(y0[oi]) if acc is None \
-                            else acc + cval(y0[oi])
+                        # EFT readout: the output terms cancel at the
+                        # BIAS-RAIL scale (~27 V internally for the chain
+                        # superover) while the audio output can be well
+                        # under a volt, so plain-f32 term rounding left a
+                        # flat ~2e-6 ABSOLUTE output floor (level-sweep
+                        # lane 0 measured -94 dB vs -101 dB at lane 4095
+                        # -- same absolute error, different scale).
+                        # Error-free dots on the (hi, lo) state cost ~15
+                        # flops/term on ny rows (~3% of a sample) and
+                        # remove that floor.
+                        hi, lo = dot_df(dy_sp[oi], x_v, x_lo,
+                                        init=coef_hi_lo(y0_sp[oi]))
+                        hi, lo = dot_df(ey_sp[oi], u_full, init=(hi, lo))
+                        hi, lo = dot_df(fy_sp[oi], z_all, z_lo_all,
+                                        init=(hi, lo))
+                        val = hi + lo
                     else:
                         acc = dotv(dy[oi], x_v)
                         acc = dotv(ey[oi], u_full, acc)
@@ -1975,7 +2032,8 @@ class FusedRunner:
                         hi, lo = dot_df(a_sp[xi], x_v, x_lo,
                                         init=coef_hi_lo(x0_sp[xi]))
                         hi, lo = dot_df(b_sp[xi], u_full, init=(hi, lo))
-                        hi, lo = dot_df(c_sp[xi], z_all, init=(hi, lo))
+                        hi, lo = dot_df(c_sp[xi], z_all, z_lo_all,
+                                        init=(hi, lo))
                         hi2, lo2 = _two_sum(jnp.asarray(hi, jnp.float32),
                                             jnp.asarray(lo, jnp.float32))
                         x_new.append((hi2, lo2))
@@ -2000,6 +2058,8 @@ class FusedRunner:
                             x_s.shape[1:])
                 for zi in range(nn_total):
                     z_s[zi] = z_all[zi]
+                    if dfs:
+                        zlo_s[zi] = z_lo_all[zi]
                 if any_fail is not None:
                     fail_s[...] = fail_s[...] + any_fail.astype(jnp.int32)
 
@@ -2013,6 +2073,8 @@ class FusedRunner:
                         xlo_out[...] = xlo_s[...]
                 if nn_total:
                     z_out[...] = z_s[...]
+                    if dfs:
+                        zlo_out[...] = zlo_s[...]
                     zw_out[...] = zw_s[...]
                 if np_total:
                     wp_out[...] = wp_s[...]
@@ -2105,6 +2167,7 @@ class FusedRunner:
             grouped((nx, Sg, LANE)),
             grouped((nn_total, Sg, LANE)),
             grouped((nn_total, Sg, LANE)),
+            grouped((nn_total, Sg, LANE)),
             grouped((np_total, Sg, LANE)),
             grouped((dz_total, Sg, LANE)),
             grouped((nsub_m, Sg, LANE)),
@@ -2115,6 +2178,7 @@ class FusedRunner:
                          memory_space=pltpu.VMEM),
             grouped((nx, Sg, LANE)),
             grouped((nx, Sg, LANE)),
+            grouped((nn_total, Sg, LANE)),
             grouped((nn_total, Sg, LANE)),
             grouped((nn_total, Sg, LANE)),
             grouped((np_total, Sg, LANE)),
@@ -2135,6 +2199,7 @@ class FusedRunner:
                 jax.ShapeDtypeStruct((nx, S_loc, LANE), dt),
                 jax.ShapeDtypeStruct((nn_total, S_loc, LANE), dt),
                 jax.ShapeDtypeStruct((nn_total, S_loc, LANE), dt),
+                jax.ShapeDtypeStruct((nn_total, S_loc, LANE), dt),
                 jax.ShapeDtypeStruct((np_total, S_loc, LANE), dt),
                 jax.ShapeDtypeStruct((dz_total, S_loc, LANE), dt),
                 jax.ShapeDtypeStruct((nsub_m, S_loc, LANE), dt),
@@ -2144,6 +2209,7 @@ class FusedRunner:
             scratch_shapes=[
                 pltpu.VMEM((nx, Sg, LANE), dt),
                 pltpu.VMEM((nx, Sg, LANE), dt),
+                pltpu.VMEM((nn_total, Sg, LANE), dt),
                 pltpu.VMEM((nn_total, Sg, LANE), dt),
                 pltpu.VMEM((nn_total, Sg, LANE), dt),
                 pltpu.VMEM((np_total, Sg, LANE), dt),
@@ -2161,9 +2227,9 @@ class FusedRunner:
             fn = jax.shard_map(
                 fn, mesh=self.mesh,
                 in_specs=(P(None, None), sh3, sh3, sh3, sh3, sh3,
-                          sh3, sh3, sh3, sh3, sh3, sh3, sh3),
+                          sh3, sh3, sh3, sh3, sh3, sh3, sh3, sh3),
                 out_specs=(P(None, None, ax, None), sh3, sh3, sh3, sh3,
-                           sh3, sh3, sh3, P(ax, None), sh3),
+                           sh3, sh3, sh3, sh3, P(ax, None), sh3),
                 check_vma=False)
         jitted = jax.jit(fn)
         self._jit_cache[key] = jitted
@@ -2228,6 +2294,8 @@ class FusedRunner:
         return {"x": per_lane("x", max(self.nx, 1)),
                 "xlo": per_lane("xlo", max(self.nx, 1)),
                 "z": per_lane("z", max(self.nn_total, 1)),
+                "zlo": jnp.zeros((max(self.nn_total, 1), S, LANE),
+                                 jnp.float32),
                 "zw": per_lane("z", max(self.nn_total, 1)),
                 "wp": per_lane("wp", max(self.np_total, 1)),
                 "dzdp": per_lane("dz", max(self.dz_total, 1)),
@@ -2264,6 +2332,7 @@ class FusedRunner:
         z_l = np.zeros((L, max(self.nn_total, 1)))
         wp_l = np.zeros((L, max(self.np_total, 1)))
         dz_l = np.zeros((L, max(self.dz_total, 1)))
+        floors_l = np.zeros((L, max(self.nsub, 1)))
         conv = np.ones(L, bool)
         for mi, (m, p) in enumerate(zip(self.models, self._prep)):
             sel = np.nonzero(midx == mi)[0]
@@ -2273,9 +2342,11 @@ class FusedRunner:
                                       (sel.size, m.nu)).astype(float).copy()
             if nu_l0 and lane_values.size:
                 u_lanes[:, list(self.lane_idx)] = lane_values[sel, :nu_l0]
-            xs, zs, cv = steadystate_sweep(m, u_lanes, runin=runin,
-                                           rounds=rounds)
+            xs, zs, cv, fl = steadystate_sweep(m, u_lanes, runin=runin,
+                                               rounds=rounds,
+                                               return_floors=True)
             conv[sel] = cv
+            floors_l[sel, :fl.shape[1]] = fl
             if self.nx:
                 x_l[sel, :self.nx] = (xs - p["x_ss"]) / self.Tx
             if self.nn_total:
@@ -2322,6 +2393,16 @@ class FusedRunner:
                 doff += nnk * npk
                 zoff += nnk
         n_bad = int((~conv).sum())
+        # certified-with-floor lanes (dead-zone subsystems at their exact
+        # steady state, e.g. the chain superover's reverse-biased bias
+        # pair at ~4e-4 -- ref test/runtests.jl:763-764) export their
+        # measured per-subsystem residual floors: _lane_tolerances raises
+        # those lanes' gates to the floor so the kernel accepts the best
+        # point ANY solver can reach instead of grinding the rescue
+        # ladder every quiet sample.  Floors are zeroed on uncertified
+        # (cold-start) lanes -- default gates apply there.
+        floors_l[~conv] = 0.0
+        self._steady_floors = floors_l
         if n_bad:
             warnings.warn(f"steady_initial_state: {n_bad}/{L} lanes did "
                           "not certify steady; they start COLD and power "
@@ -2333,8 +2414,10 @@ class FusedRunner:
                 a_.T.reshape(-1, S, LANE)))
 
         xlo = x_l - x_l.astype(np.float32).astype(np.float64)
+        zlo = z_l - z_l.astype(np.float32).astype(np.float64)
         state = {"x": as_block(x_l), "xlo": as_block(xlo),
-                 "z": as_block(z_l), "zw": as_block(z_l),
+                 "z": as_block(z_l), "zlo": as_block(zlo),
+                 "zw": as_block(z_l),
                  "wp": as_block(wp_l), "dzdp": as_block(dz_l),
                  "pmode": jnp.zeros((max(self.nsub, 1), S, LANE),
                                     jnp.float32)}
@@ -2393,6 +2476,22 @@ class FusedRunner:
             gate_l[kk] = np.maximum(96.0 * floor_l, 32.0 * self.tol)
             gate_l[nsub + kk] = np.maximum(96.0 * floor_f, 32.0 * self.tol)
             gate_l[2 * nsub + kk] = np.maximum(self.tol, 8.0 * floor_f)
+        # steady-seeded dead-zone floors (steady_initial_state): a lane
+        # whose subsystem is certified-with-floor gets its loop/acceptance
+        # gates raised to small multiples of the measured f64 residual
+        # floor -- the kernel then accepts the best point any solver can
+        # reach there (the reference warns per sample at such operating
+        # points; we measured the floor instead)
+        fl = getattr(self, "_steady_floors", None)
+        if fl is not None and fl.shape[0] == L and self.nsub:
+            flT = np.asarray(fl, np.float32).T           # (nsub, L)
+            for kk in range(self.nsub):
+                tol_l[kk] = np.maximum(tol_l[kk], 2.0 * flT[kk])
+                gate_l[kk] = np.maximum(gate_l[kk], 4.0 * flT[kk])
+                gate_l[nsub + kk] = np.maximum(gate_l[nsub + kk],
+                                               4.0 * flT[kk])
+                gate_l[2 * nsub + kk] = np.maximum(gate_l[2 * nsub + kk],
+                                                   2.0 * flT[kk])
         return (tol_l.reshape(nsub, S, LANE),
                 gate_l.reshape(3 * nsub, S, LANE))
 
@@ -2424,7 +2523,10 @@ class FusedRunner:
                       "stall_strikes", "plateau_strikes"):
                 if k in cfg:
                     setattr(r, k, int(cfg.pop(k)))
-            for k in ("extrapolate", "compensated", "pivot", "df_state",
+            if "extrapolate" in cfg:
+                v = cfg.pop("extrapolate")
+                r.extrapolate = "track" if v == "track" else bool(v)
+            for k in ("compensated", "pivot", "df_state",
                       "polish_only"):
                 if k in cfg:
                     setattr(r, k, bool(cfg.pop(k)))
@@ -2534,13 +2636,14 @@ class FusedRunner:
                 if nu_t:
                     u_pad[:T0, :] = u_time.T
                 try:
-                    (y, x_o, xlo_o, z_o, zw_o, wp_o, dz_o, pm_o, fails,
-                     iters) = fn(
+                    (y, x_o, xlo_o, z_o, zlo_o, zw_o, wp_o, dz_o, pm_o,
+                     fails, iters) = fn(
                         jnp.asarray(u_pad), jnp.asarray(lv),
                         jnp.asarray(tol_l), jnp.asarray(gate_l),
                         jnp.asarray(coef_hi), jnp.asarray(coef_lo),
-                        state["x"], state["xlo"], state["z"], state["zw"],
-                        state["wp"], state["dzdp"],
+                        state["x"], state["xlo"], state["z"],
+                        state.get("zlo", jnp.zeros_like(state["z"])),
+                        state["zw"], state["wp"], state["dzdp"],
                         state.get("pmode", jnp.zeros(
                             (max(self.nsub, 1), S, LANE), jnp.float32)))
                     break
@@ -2553,8 +2656,8 @@ class FusedRunner:
         y = jnp.transpose(y, (2, 3, 1, 0)).reshape(S * LANE,
                                                    max(self.ny, 1), T)
         y = y[:, :self.ny, :T0]
-        state = {"x": x_o, "xlo": xlo_o, "z": z_o, "zw": zw_o,
-                 "wp": wp_o, "dzdp": dz_o, "pmode": pm_o}
+        state = {"x": x_o, "xlo": xlo_o, "z": z_o, "zlo": zlo_o,
+                 "zw": zw_o, "wp": wp_o, "dzdp": dz_o, "pmode": pm_o}
         info = FusedInfo(
             fails=fails.reshape(-1),
             iters=jnp.transpose(iters, (1, 2, 0)).reshape(S * LANE, -1))

@@ -1,19 +1,22 @@
 #!/usr/bin/env python
 """Benchmark: superover parameter sweep on one TPU chip.
 
-Workload (BASELINE.md): the 'Der Super Over' overdrive at 44.1 kHz with a
-per-lane parameter axis -- either L independent channels at graded input
-levels through one pedal (--sweep level), or a drive x tone pot grid
-(--sweep pots) -- run by the fused Pallas kernel (float32 fast path with
-compensated-residual polish; float64 parity is covered by tests/ and the
-scan engine).  Metric: real-time factor per lane; target >= 100x.
+Headline workload (BASELINE.md): the 'Der Super Over' overdrive at
+44.1 kHz across a drive x tone pot grid -- L independent parameter lanes
+through the fused Pallas kernel, every lane seeded at ITS OWN steady
+state (runtime.steadystate_sweep).  Metric: real-time factor per lane at
+4096 lanes; target >= 100x.
 
-Model variants: --model chain (default) adds the reference's stiff vb
-bias source (its own "simplified" superover, test/runtests.jl:751-755),
-which decomposes the nonlinearity into a chain of small subsystems --
-np=(2,1,2) fixed-pots / np=(2,2,2,2) varying -- the fast configuration;
---model full runs the un-decomposed np=5/nn=7 (fixed) or np=8/nn=11
-(pots) block.
+The benched circuit is the reference's own *simplified* superover (adds
+the stiff vb bias source, test/runtests.jl:751-755), whose nonlinearity
+decomposes into a chain of small subsystems -- np=(2,2,2,2) with pots
+varying, np=(2,1,2) fixed.  CAVEAT (pinned by a strict xfail in
+tests/test_examples.py): in multi-root regions the decomposed chain
+tracks a different valid orbit than the un-decomposed np=5 circuit, so
+chain parity is defined against the chain host oracle (both sides
+decompose identically).  The un-decomposed model keeps its own tracked
+number in the extras (full_rt / full_parity_db), as does the round-3
+input-level sweep (level_rt / level_parity_db).
 
 Timing methodology: the TPU here sits behind an asynchronous tunnel whose
 ``block_until_ready`` returns before execution finishes, so single-run
@@ -22,12 +25,16 @@ device-to-host fetch and report the amortized per-run cost (run-1 measured
 this wrong and over-reported ~80x).
 
 Parity: a stratified sample of lanes (4 corners + seeded interior, 16 by
-default) is checked against the float64 scan engine (fresh state =
-reference power-up semantics; the scan engine itself is pinned against
-the per-sample host runtime at <= -110 dB by tests/) on both the power-up
-window and the chained steady window; the JSON carries worst and median.
-References are cached on disk (.hostref_cache.npz) -- they are
-deterministic, and the fused outputs under test are always fresh.
+default) is checked against the float64 scan engine (seeded with the
+same per-lane steady states; the scan engine itself is pinned against
+the per-sample host runtime at <= -110 dB by tests/, and the host
+runtime against independent 50-digit mpmath traces by
+tests/test_golden.py) on both the first window and the chained steady
+window; the JSON carries worst and median.  References are cached on
+disk (.hostref_cache.npz, committed) -- they are deterministic, and the
+fused outputs under test are always fresh.  The per-lane steady seeds
+are likewise cached (.steadyseed_cache.npz) -- deterministic host-side
+numpy, ~13 min cold at 4096 lanes.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 Diagnostics go to stderr.
@@ -40,6 +47,8 @@ import json
 import os
 import sys
 import time
+
+HERE = os.path.dirname(os.path.abspath(__file__))
 
 
 def log(*a):
@@ -56,17 +65,36 @@ def _build_model(sweep: str, variant: str, fs: int):
                            vb_source=vb)
 
 
+def _lane_grid(sweep: str, L: int):
+    """The lane axis: (levels, drive, tone, lane_values, lane_cfg)."""
+    import numpy as np
+    if sweep == "pots":
+        # drive x tone grid over 5%..95% pot travel (the exact end stops
+        # are singular operating points; the reference warns there too)
+        a = max(1, int(np.sqrt(L)))
+        while L % a:
+            a -= 1
+        b = L // a
+        drive = np.repeat(np.linspace(0.05, 0.95, a), b)
+        tone = np.tile(np.linspace(0.05, 0.95, b), a)
+        return (None, drive, tone, np.stack([drive, tone], axis=1),
+                dict(lane_input_idx=(1, 2)))
+    levels = np.linspace(0.1, 2.0, L)
+    return levels, None, None, levels[:, None], dict(lane_scale_idx=(0,))
+
+
 def _scan_parity_worker(payload):
     """Compute float64 references for ALL parity lanes in one batched run
-    of the scan engine (fresh state = reference power-up semantics).
+    of the scan engine (seeded per the run's power-up protocol).
 
     The scan engine is the parity oracle here because it is (a) pinned
     against the per-sample host runtime at <= -110 dB on every bundled
-    example by tests/test_engine.py + tests/test_examples.py, and (b)
-    vectorized over lanes, so 16 reference lanes cost one batched run
-    instead of 16 serial pure-python runs (~40 min/lane on a small
-    container).  Runs in a spawn subprocess pinned to CPU: float64 on the
-    tunneled TPU is software-emulated and can crash the worker.
+    example by tests/test_engine.py + tests/test_examples.py (and the
+    host runtime against independent 50-digit mpmath golden traces by
+    tests/test_golden.py), and (b) vectorized over lanes, so 16
+    reference lanes cost one batched run instead of 16 serial
+    pure-python runs.  Runs in a spawn subprocess pinned to CPU: float64
+    on the tunneled TPU is software-emulated and can crash the worker.
 
     Window bookkeeping matches the fused bench protocol exactly: the
     power-up reference is window 1; the steady reference is window
@@ -122,6 +150,212 @@ def _scan_parity_worker(payload):
             np.asarray(y_st[:, 0, :], np.float32))
 
 
+def _parity_refs(args, sweep, variant, T, reps, powerup, lanes_sel,
+                 lane_params):
+    """Fetch (or compute + cache) the f64 scan-engine references for the
+    selected lanes; returns [(y_pw, y_st)] per lane."""
+    import numpy as np
+    cache_path = os.environ.get(
+        "ACME_TPU_HOSTREF_CACHE", os.path.join(HERE, ".hostref_cache.npz"))
+    cache = {}
+    if os.path.exists(cache_path):
+        try:
+            cache = dict(np.load(cache_path))
+        except Exception as e:  # corrupt cache: recompute
+            log(f"reference cache unreadable ({e}); recomputing")
+
+    def lanekey(i):
+        lv, d, tn = lane_params(i)
+        tag = "_steady" if powerup == "steady" else ""
+        return ("scan1_{}_{}_fs{}_T{}_r{}_lv{:.6f}_d{:.6f}_t{:.6f}{}"
+                .format(sweep, variant, args.fs, T, reps, lv, d, tn, tag))
+
+    missing = [i for i in lanes_sel if lanekey(i) + "_pw" not in cache]
+    t0 = time.time()
+    if missing:
+        payload = (sweep, variant, args.fs, T, reps,
+                   np.array([lane_params(i)[0] for i in missing]),
+                   np.array([lane_params(i)[1] for i in missing]),
+                   np.array([lane_params(i)[2] for i in missing]),
+                   powerup)
+        if args.smoke:
+            ys_pw, ys_st = _scan_parity_worker(payload)
+        else:
+            import multiprocessing as mp
+            ctx = mp.get_context("spawn")
+            env_save = os.environ.get("PALLAS_AXON_POOL_IPS")
+            os.environ.pop("PALLAS_AXON_POOL_IPS", None)  # worker: CPU
+            os.environ["JAX_PLATFORMS"] = "cpu"
+            with ctx.Pool(1) as pool:
+                ys_pw, ys_st = pool.apply(_scan_parity_worker, (payload,))
+            if env_save is not None:
+                os.environ["PALLAS_AXON_POOL_IPS"] = env_save
+        for n, i in enumerate(missing):
+            cache[lanekey(i) + "_pw"] = ys_pw[n]
+            cache[lanekey(i) + "_st"] = ys_st[n]
+        try:
+            np.savez_compressed(cache_path, **cache)
+        except Exception as e:
+            log(f"reference cache not saved: {e}")
+    log(f"float64 parity refs (scan engine): {len(lanes_sel)} lanes "
+        f"({len(missing)} computed, {len(lanes_sel)-len(missing)} cached) "
+        f"in {time.time()-t0:.1f}s")
+    return [(cache[lanekey(i) + "_pw"], cache[lanekey(i) + "_st"])
+            for i in lanes_sel]
+
+
+def _steady_seed_cached(fr, lane_values, tag):
+    """Per-lane steady seeds are deterministic host-side numpy (~13 min
+    at 4096 lanes), so cache them on disk (committed) keyed by the
+    workload tag; restores both the kernel state and the dead-zone
+    residual floors (certified-with-floor contract)."""
+    import numpy as np
+
+    import jax.numpy as jnp
+    path = os.environ.get("ACME_TPU_SEED_CACHE",
+                          os.path.join(HERE, ".steadyseed_cache.npz"))
+    cache = {}
+    if os.path.exists(path):
+        try:
+            cache = dict(np.load(path))
+        except Exception as e:
+            log(f"seed cache unreadable ({e}); recomputing")
+    keys = ("x", "xlo", "z", "zlo", "zw", "wp", "dzdp", "pmode", "floors")
+    if all(f"{tag}_{k}" in cache for k in keys):
+        log(f"steady seed: cache hit ({tag})")
+        state = {k: jnp.asarray(cache[f"{tag}_{k}"]) for k in keys[:-1]}
+        fr._steady_floors = np.asarray(cache[f"{tag}_floors"])
+        return state
+    t0 = time.time()
+    state = fr.steady_initial_state(lane_values)
+    log(f"steady_initial_state: {time.time()-t0:.1f}s (cached for reuse)")
+    for k in keys[:-1]:
+        cache[f"{tag}_{k}"] = np.asarray(state[k])
+    cache[f"{tag}_floors"] = np.asarray(
+        getattr(fr, "_steady_floors", np.zeros((len(lane_values), 1))))
+    try:
+        np.savez_compressed(path, **cache)
+    except Exception as e:
+        log(f"seed cache not saved: {e}")
+    return state
+
+
+def run_fused(args, sweep, variant, L, reps, parity_lanes, label):
+    """One fused benchmark: build, power up / seed, time chained runs,
+    parity-check a stratified lane sample.  Returns a metrics dict."""
+    import numpy as np
+
+    from acme_tpu.ops.fused import FusedRunner
+    t0 = time.time()
+    model = _build_model(sweep, variant, args.fs)
+    log(f"[{label}] model build: {time.time()-t0:.1f}s ({variant}) "
+        f"np={[model.np(i) for i in range(model.nsubsystems)]} "
+        f"nn={[model.nn(i) for i in range(model.nsubsystems)]} "
+        f"nx={model.nx}")
+    T = max(16, int(round(args.seconds * args.fs)))
+    u_time = (0.2 * np.sin(2 * np.pi * 1000 / args.fs
+                           * np.arange(T)))[None, :]
+    levels, drive, tone, lane_values, lane_cfg = _lane_grid(sweep, L)
+
+    df_polish = {"plain_final": "plain_final", "comp_final": "comp_final",
+                 "final": "final", "full": True, "off": False}[args.df_polish]
+    gl = args.group_lanes if args.group_lanes > 0 else L
+    powerup = {"safe": "safe", "none": None,
+               "steady": "steady"}[args.powerup]
+    t0 = time.time()
+    fr = FusedRunner(model, newton_iters=args.newton_iters, tol=1e-9,
+                     group_lanes=gl, interpret=args.smoke,
+                     fast_iters=args.fast_iters, df_polish=df_polish,
+                     fast_verify="merge", polish_only=args.polish_only,
+                     polish_fixed=args.polish_fixed,
+                     verdict_refine=args.verdict_refine,
+                     verdict_jac=args.verdict_jac,
+                     powerup=powerup, **lane_cfg)
+    log(f"[{label}] runner build (centering + floors): "
+        f"{time.time()-t0:.1f}s")
+    state = None
+    if powerup == "steady":
+        tag = f"seed1_{sweep}_{variant}_fs{args.fs}_L{L}"
+        state = _steady_seed_cached(fr, lane_values, tag)
+    t0 = time.time()
+    y0, state, info0 = fr.run(u_time, lane_values, state=state,
+                              check=False)
+    _ = np.asarray(y0[:1, :1, :8])  # sync: true completion (tiny fetch)
+    compile_s = time.time() - t0
+    f0 = np.asarray(info0.fails)
+    log(f"[{label}] compile+first run: {compile_s:.1f}s (cold only on "
+        f"first process: persistent compile cache)  "
+        f"fails/lane mean {f0.mean():.1f} max {int(f0.max())} of {T}")
+    out = {"compile_powerup_s": round(compile_s, 1),
+           "powerup_fails_mean": round(float(f0.mean()), 2)}
+    # untimed warm-up chained run: with the two-phase power-up the first
+    # run compiled different time shapes than the chained runs, so the
+    # full-T fast kernel compiles here, not in the timed loop
+    t0 = time.time()
+    y, state, info = fr.run(u_time, lane_values, state=state, check=False)
+    _ = np.asarray(y[:1, :1, :8])
+    log(f"[{label}] warmup chained run: {time.time()-t0:.1f}s")
+    # check=False keeps the chained runs fully asynchronous (the
+    # user-level failure check costs one host round-trip per run); fails
+    # are inspected from FusedInfo below instead
+    t0 = time.time()
+    for _ in range(reps):
+        y, state, info = fr.run(u_time, lane_values, state=state,
+                                check=False)
+    _ = np.asarray(y[:1, :1, :8])  # sync
+    wall = (time.time() - t0) / reps
+    fails = np.asarray(info.fails)
+    iters = np.asarray(info.iters).sum(1)
+    out["fails_mean"] = round(float(fails.mean()), 2)
+    out["fails_max"] = int(fails.max())
+    out["iters_per_sample_mean"] = round(float(iters.mean()) / T, 2)
+    audio_s = T / args.fs
+    rt = audio_s / wall
+    out["rt"] = round(rt, 3)
+    log(f"[{label}] timed: {wall*1e3:.1f} ms/run for {audio_s:.3f}s audio "
+        f"x {L} lanes ({reps} chained reps)")
+    log(f"[{label}] RT-factor per lane: {rt:.2f}x   aggregate: "
+        f"{rt*L:.0f}x realtime   ({rt*L*args.fs/1e6:.1f} Msamples/s)")
+
+    if parity_lanes > 0:
+        K = min(parity_lanes, L)
+        rng = np.random.default_rng(20260817)
+        corners = [0, L - 1, L // 2, 1] if L >= 4 else list(range(L))
+        interior = sorted(
+            set(rng.integers(2, max(L - 2, 3), size=4 * K).tolist())
+            - set(corners))[:max(0, K - len(corners))]
+        lanes_sel = sorted(set(corners[:K]) | set(interior))
+
+        def lane_params(i):
+            return (float(levels[i]) if levels is not None else 1.0,
+                    float(drive[i]) if drive is not None else 1.0,
+                    float(tone[i]) if tone is not None else 1.0)
+
+        results = _parity_refs(args, sweep, variant, T, reps, args.powerup,
+                               lanes_sel, lane_params)
+        dbs_pw, dbs_st = [], []
+        for i, (yh_pw, yh_st) in zip(lanes_sel, results):
+            ref = max(float(np.max(np.abs(yh_st))), 1e-12)
+            y0i = np.asarray(y0[i, 0, :])
+            yi = np.asarray(y[i, 0, :])
+            db_pw = 20 * np.log10(
+                float(np.max(np.abs(y0i - yh_pw))) / ref + 1e-300)
+            db_st = 20 * np.log10(
+                float(np.max(np.abs(yi - yh_st))) / ref + 1e-300)
+            dbs_pw.append(db_pw)
+            dbs_st.append(db_st)
+            log(f"[{label}]   lane {i}: power-up {db_pw:.1f} dB, "
+                f"steady {db_st:.1f} dB")
+        out["parity_db"] = round(max(dbs_pw), 1)
+        out["parity_steady_db"] = round(max(dbs_st), 1)
+        out["parity_median_db"] = round(float(np.median(dbs_st)), 1)
+        out["parity_lanes"] = len(lanes_sel)
+        log(f"[{label}] parity: power-up worst {out['parity_db']} dB; "
+            f"steady worst {out['parity_steady_db']} dB median "
+            f"{out['parity_median_db']} dB over {len(lanes_sel)} lanes")
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--lanes", type=int, default=4096)
@@ -135,10 +369,10 @@ def main():
     ap.add_argument("--model", choices=["chain", "full"], default="chain",
                     help="chain = reference's simplified (vb-source) "
                          "decomposed superover; full = un-decomposed")
-    ap.add_argument("--sweep", choices=["level", "pots"], default="level",
-                    help="lane axis: per-lane input level (L channels "
-                         "through one pedal) or drive x tone pot grid "
-                         "(pots-as-inputs model; harder for float32)")
+    ap.add_argument("--sweep", choices=["level", "pots"], default="pots",
+                    help="headline lane axis: drive x tone pot grid "
+                         "(default; pots-as-inputs model, BASELINE.md's "
+                         "flagship) or per-lane input level")
     ap.add_argument("--group-lanes", type=int, default=0,
                     help="lanes per independent kernel grid group; 0 "
                          "(default) = one group covering all lanes "
@@ -152,29 +386,32 @@ def main():
                     help="zero unguarded fast steps: the extrapolated warm "
                          "start goes straight into the polish, whose "
                          "mandatory first step is the sample's Newton step")
-    ap.add_argument("--polish-fixed", type=int, default=0,
-                    help="exactly N unrolled masked polish steps instead "
-                         "of the early-exiting while loop (0 = loop); "
-                         "ablations show fixed-trip removes the "
-                         "per-iteration group reduction cost")
+    ap.add_argument("--polish-fixed", type=int, default=2,
+                    help="unrolled prefix of the polish loop before the "
+                         "early-exiting continuation (production default "
+                         "2: the typical steady lane finishes inside the "
+                         "prefix with zero group reductions)")
     ap.add_argument("--verdict-refine", type=int, default=None,
                     help="iterative-refinement sweeps of the final "
                          "verdict elimination (default: runner refine)")
     ap.add_argument("--verdict-jac", default="df", choices=["df", "plain"],
                     help="Jacobian precision of the final df verdict")
-    ap.add_argument("--df-polish", default="plain_final",
+    ap.add_argument("--df-polish", default="comp_final",
                     choices=["plain_final", "comp_final", "final", "full",
                              "off"],
-                    help="double-float polish mode (plain_final = plain-f32 "
-                         "polish loop + one df eval/step per sample, the "
-                         "production default)")
+                    help="verdict tier: comp_final = plain polish loop + "
+                         "one compensated verdict eval/step (production "
+                         "default, 4.07x); plain_final = same loop + "
+                         "full-df verdict (2.8 dB better steady parity "
+                         "at ~-30% speed)")
     ap.add_argument("--powerup", choices=["safe", "none", "steady"],
-                    default="safe",
-                    help="fresh-state start: 'safe' = two-phase "
-                         "conservative first window; 'steady' = per-lane "
-                         "host-computed steady start (no transient, no "
-                         "power-up cost; the parity reference is seeded "
-                         "identically); 'none' = fast config from x = 0")
+                    default=None,
+                    help="fresh-state start: 'steady' = per-lane "
+                         "host-computed steady start (default for the "
+                         "pots sweep; no transient, seeds cached on "
+                         "disk); 'safe' = two-phase conservative first "
+                         "window (default for the level sweep); 'none' = "
+                         "fast config from x = 0")
     ap.add_argument("--no-powerup-phase", action="store_true",
                     help="deprecated alias for --powerup none")
     ap.add_argument("--parity-lanes", type=int, default=16,
@@ -183,9 +420,16 @@ def main():
                     help="tiny CPU-safe smoke run")
     ap.add_argument("--no-parity", action="store_true",
                     help="skip the float64 host parity check")
+    ap.add_argument("--primary-only", action="store_true",
+                    help="skip the secondary (level-sweep and full-model) "
+                         "tracking runs")
     args = ap.parse_args()
     if args.no_powerup_phase:
         args.powerup = "none"
+    if args.powerup is None:
+        args.powerup = "steady" if args.sweep == "pots" else "safe"
+    if args.no_parity:
+        args.parity_lanes = 0
 
     if args.smoke:
         # CPU sanity path: the float64 scan engine compiles quickly on CPU;
@@ -196,8 +440,9 @@ def main():
         args.seconds = min(args.seconds, 0.005)
         args.engine = "scan"
         args.sweep = "pots"
+        args.powerup = "safe"
         args.reps = 1
-        args.parity_lanes = 2
+        args.parity_lanes = min(args.parity_lanes, 2)
 
     import numpy as np
 
@@ -230,101 +475,66 @@ def main():
             args.seconds = min(args.seconds, 0.005)
             args.engine = "scan"
             args.sweep = "pots"
+            args.powerup = "safe"
             args.reps = 1
-            args.parity_lanes = 2
+            args.parity_lanes = min(args.parity_lanes, 2)
 
     import jax
 
     if args.smoke:
         jax.config.update("jax_platforms", "cpu")
-
     log(f"devices: {jax.devices()}")
-    t0 = time.time()
-    model = _build_model(args.sweep, args.model, args.fs)
-    log(f"model build: {time.time()-t0:.1f}s ({args.model}) "
-        f"np={[model.np(i) for i in range(model.nsubsystems)]} "
-        f"nn={[model.nn(i) for i in range(model.nsubsystems)]} nx={model.nx}")
 
     T = max(16, int(round(args.seconds * args.fs)))
     L = args.lanes
-    u_time = (0.2 * np.sin(2 * np.pi * 1000 / args.fs * np.arange(T)))[None, :]
-    if args.sweep == "pots":
-        # drive x tone grid over 5%..95% pot travel (the exact end stops
-        # are singular operating points; the reference warns there too)
-        a = max(1, int(np.sqrt(L)))
-        while L % a:
-            a -= 1
-        b = L // a
-        drive = np.repeat(np.linspace(0.05, 0.95, a), b)
-        tone = np.tile(np.linspace(0.05, 0.95, b), a)
-        lane_values = np.stack([drive, tone], axis=1)
-        lane_cfg = dict(lane_input_idx=(1, 2))
-        levels = None
-    else:
-        # L independent channels through one pedal at graded input levels
-        levels = np.linspace(0.1, 2.0, L)
-        lane_values = levels[:, None]
-        lane_cfg = dict(lane_scale_idx=(0,))
-        drive = tone = None
-
     extras = {}
     if tpu_unavailable:
         extras["tpu_unavailable"] = True
+    t_start = time.time()
+
     if args.engine == "fused":
-        from acme_tpu.ops.fused import FusedRunner
-        t0 = time.time()
-        df_polish = {"plain_final": "plain_final",
-                     "comp_final": "comp_final", "final": "final",
-                     "full": True, "off": False}[args.df_polish]
-        gl = args.group_lanes if args.group_lanes > 0 else L
-        fr = FusedRunner(model, newton_iters=args.newton_iters, tol=1e-9,
-                         group_lanes=gl, interpret=args.smoke,
-                         fast_iters=args.fast_iters, df_polish=df_polish,
-                         fast_verify="merge",
-                         polish_only=args.polish_only,
-                         polish_fixed=args.polish_fixed,
-                         verdict_refine=args.verdict_refine,
-                         verdict_jac=args.verdict_jac,
-                         powerup={"safe": "safe", "none": None,
-                                  "steady": "steady"}[args.powerup],
-                         **lane_cfg)
-        log(f"runner build (centering + floors): {time.time()-t0:.1f}s")
-        t0 = time.time()
-        y0, state, info0 = fr.run(u_time, lane_values, check=False)
-        _ = np.asarray(y0[:1, :1, :8])  # sync: true completion (tiny fetch)
-        compile_s = time.time() - t0
-        f0 = np.asarray(info0.fails)
-        log(f"compile+power-up run: {compile_s:.1f}s (cold only on first "
-            f"process: persistent compile cache)  "
-            f"fails/lane mean {f0.mean():.1f} max {int(f0.max())} of {T}")
-        extras["compile_powerup_s"] = round(compile_s, 1)
-        # untimed warm-up chained run: with the two-phase power-up the
-        # first run compiled different time shapes than the chained runs,
-        # so the full-T fast kernel compiles here, not in the timed loop
-        t0 = time.time()
-        y, state, info = fr.run(u_time, lane_values, state=state,
-                                check=False)
-        _ = np.asarray(y[:1, :1, :8])
-        log(f"warmup chained run: {time.time()-t0:.1f}s")
-        t0 = time.time()
-        # check=False keeps the chained runs fully asynchronous (the
-        # user-level failure check costs one host round-trip per run);
-        # fails are inspected from FusedInfo below instead
-        for _ in range(args.reps):
-            y, state, info = fr.run(u_time, lane_values, state=state,
-                                    check=False)
-        _ = np.asarray(y[:1, :1, :8])  # sync
-        wall = (time.time() - t0) / args.reps
-        fails = np.asarray(info.fails)
-        iters = np.asarray(info.iters).sum(1)
-        extras["fails_mean"] = round(float(fails.mean()), 2)
-        extras["fails_max"] = int(fails.max())
-        extras["powerup_fails_mean"] = round(float(f0.mean()), 2)
-        extras["iters_per_sample_mean"] = round(float(iters.mean()) / T, 2)
+        primary = run_fused(args, args.sweep, args.model, L, args.reps,
+                            args.parity_lanes, "primary")
+        rt_per_lane = primary.pop("rt")
+        extras.update(primary)
+        # secondary tracked numbers (VERDICT r3 asks 2/6/7): the round-3
+        # input-level sweep and the reference-faithful un-decomposed
+        # superover keep measured numbers next to the headline.  Skipped
+        # if the primary already consumed the soft time budget (logged --
+        # no silent caps).
+        if not args.primary_only and not args.smoke:
+            elapsed = time.time() - t_start
+            if elapsed > 2400:
+                log(f"secondary runs SKIPPED (primary took {elapsed:.0f}s "
+                    "> 2400s soft budget); re-run with caches warm or "
+                    "--primary-only to silence")
+                extras["secondary_skipped"] = True
+            else:
+                import copy
+                a2 = copy.copy(args)
+                a2.powerup = "safe"
+                lvl = run_fused(a2, "level", "chain", L, 2,
+                                min(args.parity_lanes, 16), "level")
+                extras["level_rt"] = lvl["rt"]
+                if "parity_steady_db" in lvl:
+                    extras["level_parity_db"] = lvl["parity_db"]
+                    extras["level_parity_steady_db"] = \
+                        lvl["parity_steady_db"]
+                full = run_fused(a2, "level", "full", L, 2,
+                                 min(args.parity_lanes, 8), "full")
+                extras["full_rt"] = full["rt"]
+                if "parity_steady_db" in full:
+                    extras["full_parity_db"] = full["parity_db"]
+                    extras["full_parity_steady_db"] = \
+                        full["parity_steady_db"]
     else:
         if args.sweep != "pots":
             raise SystemExit("--engine scan supports --sweep pots only")
         from acme_tpu.engine import compile_model
+        model = _build_model(args.sweep, args.model, args.fs)
+        levels, drive, tone, lane_values, _ = _lane_grid(args.sweep, L)
+        u_time = (0.2 * np.sin(2 * np.pi * 1000 / args.fs
+                               * np.arange(T)))[None, :]
         cm = compile_model(model,
                            tol=1e-9 if args.powerup == "steady" else None)
         t0 = time.time()
@@ -347,106 +557,22 @@ def main():
                                           state=state)
         _ = np.asarray(y[:1, :1, :8])
         wall = (time.time() - t0) / args.reps
+        rt_per_lane = (T / args.fs) / wall
         extras["fails_mean"] = 0.0
+        log(f"RT-factor per lane: {rt_per_lane:.2f}x")
 
-    audio_s = T / args.fs
-    rt_per_lane = audio_s / wall
-    log(f"timed: {wall*1e3:.1f} ms/run for {audio_s:.3f}s audio x {L} lanes "
-        f"({args.reps} chained reps)")
-    log(f"RT-factor per lane: {rt_per_lane:.2f}x   "
-        f"aggregate: {rt_per_lane*L:.0f}x realtime   "
-        f"({rt_per_lane*L*args.fs/1e6:.1f} Msamples/s)")
-
-    if not args.no_parity and args.parity_lanes > 0:
-        # stratified parity sample: 4 corners + seeded interior lanes,
-        # fresh host model per lane, run in parallel worker processes
-        K = min(args.parity_lanes, L)
-        rng = np.random.default_rng(20260817)
-        corners = [0, L - 1, L // 2, 1] if L >= 4 else list(range(L))
-        interior = sorted(set(rng.integers(2, max(L - 2, 3), size=4 * K).tolist())
-                          - set(corners))[:max(0, K - len(corners))]
-        lanes_sel = sorted(set(corners[:K]) | set(interior))
-        def lane_params(i):
-            return (float(levels[i]) if levels is not None else 1.0,
-                    float(drive[i]) if drive is not None else 1.0,
-                    float(tone[i]) if tone is not None else 1.0)
-        # References are deterministic functions of (model config, lane
-        # params, window protocol), so they are cached on disk (repo-local,
-        # committed) per lane.  The fused outputs under test are always
-        # computed fresh.
-        cache_path = os.environ.get(
-            "ACME_TPU_HOSTREF_CACHE",
-            os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         ".hostref_cache.npz"))
-        cache = {}
-        if os.path.exists(cache_path):
-            try:
-                cache = dict(np.load(cache_path))
-            except Exception as e:  # corrupt cache: recompute
-                log(f"reference cache unreadable ({e}); recomputing")
-        def lanekey(i):
-            lv, d, tn = lane_params(i)
-            tag = "_steady" if args.powerup == "steady" else ""
-            return ("scan1_{}_{}_fs{}_T{}_r{}_lv{:.6f}_d{:.6f}_t{:.6f}{}"
-                    .format(args.sweep, args.model, args.fs, T, args.reps,
-                            lv, d, tn, tag))
-        missing = [i for i in lanes_sel if lanekey(i) + "_pw" not in cache]
-        t0 = time.time()
-        if missing:
-            payload = (args.sweep, args.model, args.fs, T, args.reps,
-                       np.array([lane_params(i)[0] for i in missing]),
-                       np.array([lane_params(i)[1] for i in missing]),
-                       np.array([lane_params(i)[2] for i in missing]),
-                       args.powerup)
-            if args.smoke:
-                ys_pw, ys_st = _scan_parity_worker(payload)
-            else:
-                import multiprocessing as mp
-                ctx = mp.get_context("spawn")
-                env_save = os.environ.get("PALLAS_AXON_POOL_IPS")
-                os.environ.pop("PALLAS_AXON_POOL_IPS", None)  # worker: CPU
-                os.environ["JAX_PLATFORMS"] = "cpu"
-                with ctx.Pool(1) as pool:
-                    ys_pw, ys_st = pool.apply(_scan_parity_worker, (payload,))
-                if env_save is not None:
-                    os.environ["PALLAS_AXON_POOL_IPS"] = env_save
-            for n, i in enumerate(missing):
-                cache[lanekey(i) + "_pw"] = ys_pw[n]
-                cache[lanekey(i) + "_st"] = ys_st[n]
-            try:
-                np.savez_compressed(cache_path, **cache)
-            except Exception as e:
-                log(f"reference cache not saved: {e}")
-        results = [(cache[lanekey(i) + "_pw"], cache[lanekey(i) + "_st"])
-                   for i in lanes_sel]
-        log(f"float64 parity refs (scan engine): {len(lanes_sel)} lanes "
-            f"({len(missing)} computed, {len(lanes_sel)-len(missing)} "
-            f"cached) in {time.time()-t0:.1f}s")
-        dbs_pw, dbs_st = [], []
-        for i, (yh_pw, yh_st) in zip(lanes_sel, results):
-            ref = max(float(np.max(np.abs(yh_st))), 1e-12)
-            y0i = np.asarray(y0[i, 0, :])
-            yi = np.asarray(y[i, 0, :])
-            db_pw = 20 * np.log10(
-                float(np.max(np.abs(y0i - yh_pw))) / ref + 1e-300)
-            db_st = 20 * np.log10(
-                float(np.max(np.abs(yi - yh_st))) / ref + 1e-300)
-            dbs_pw.append(db_pw)
-            dbs_st.append(db_st)
-            log(f"  lane {i}: power-up {db_pw:.1f} dB, steady {db_st:.1f} dB")
-        extras["parity_db"] = round(max(dbs_pw), 1)
-        extras["parity_steady_db"] = round(max(dbs_st), 1)
-        extras["parity_median_db"] = round(float(np.median(dbs_st)), 1)
-        extras["parity_lanes"] = len(lanes_sel)
-        log(f"parity: power-up worst {extras['parity_db']} dB; steady worst "
-            f"{extras['parity_steady_db']} dB median "
-            f"{extras['parity_median_db']} dB over {len(lanes_sel)} lanes")
-
+    variant_note = ("chain model: the reference's simplified vb-source "
+                    "superover; decomposition-faithful, but a different "
+                    "circuit from the full np=5 superover in multi-root "
+                    "regions" if args.model == "chain" else "full model")
     print(json.dumps({
         "metric": "superover RT-factor per lane @44.1kHz, "
-                  f"{L} lanes ({'drive x tone grid' if args.sweep == 'pots' else 'input-level sweep'}, "
-                  f"{args.model} model), "
-                  f"{'fused float32 kernel' if args.engine == 'fused' else 'float64 scan engine'}",
+                  f"{L} lanes ("
+                  f"{'drive x tone pot grid' if args.sweep == 'pots' else 'input-level sweep'}, "
+                  f"{variant_note}), "
+                  f"{'fused float32 kernel' if args.engine == 'fused' else 'float64 scan engine'}"
+                  + (", per-lane steady-seeded"
+                     if args.powerup == "steady" else ""),
         "value": round(rt_per_lane, 3),
         "unit": "x realtime per lane",
         "vs_baseline": round(rt_per_lane / 100.0, 4),

@@ -54,34 +54,45 @@ def test_steadystate_sweep_linear_model():
 
 
 @pytest.mark.slow
-def test_steadystate_sweep_chain_superover_honest_refusal():
+def test_steadystate_sweep_chain_superover_certified_with_floor():
     """The hard case: chain-decomposed superover (singular I - A, slow
     bias-rail modes with tau ~ 30k-150k samples; the reference marks its
     steady state @test_broken, test/runtests.jl:763-764).  Measured root
-    cause: at the exact steady the dead-zone subsystem's residual floor
-    is ~4e-4 -- NO solver can certify it there, although the OUTPUT is
-    perfectly quiet.  The contract is therefore an HONEST REFUSAL:
-    finite, output-quiet near-steady states with conv False (consumers
-    cold-start those lanes; a conv=True here would seed solver warm
-    starts that grind a futile homotopy ladder on every sample).  If
-    certification ever starts succeeding on this model, the solvability
-    structure changed -- re-examine before trusting it."""
+    cause: at the exact steady state the dead-zone subsystem -- both
+    junctions of the bias pair strongly reverse-biased -- has a residual
+    LOCAL MINIMUM of ~4e-4 in every direction: no root exists, NO solver
+    can reach tolerance, yet the dynamics are perfectly stationary
+    (drift ~1e-19) and the output is insensitive to the undetermined z
+    direction.  Round 3 refused to certify these lanes, which made
+    steady seeding useless on the pots grid (677/4096 certified).  The
+    round-4 contract is CERTIFIED-WITH-FLOOR: conv=True with the
+    measured per-subsystem residual floors returned, so consumers gate
+    their solvers at the floor instead of grinding a futile rescue
+    ladder per quiet sample; wrong-root latches are still rejected by
+    the host-run arbiter (output disagreement >> floor)."""
     circ = M.superover(level=1.0, vb_source=True)
     m = A.DiscreteModel(circ, Fraction(1, 44100))
     drives = np.array([0.50, 0.05])
     tones = np.array([0.50, 0.05])
     u_lanes = np.stack([np.zeros(2), drives, tones], axis=1)
-    x, z, conv = steadystate_sweep(m, u_lanes, runin=512)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        x, z, conv, floors = steadystate_sweep(m, u_lanes, runin=512,
+                                               return_floors=True)
     assert np.isfinite(x).all() and np.isfinite(z).all()
-    assert not conv.any()          # honest refusal (see docstring)
+    assert conv.all()              # certified-with-floor (see docstring)
+    # the dead-zone subsystem's floor is real and reported (~4e-4);
+    # solver-reachable subsystems sit at/below tolerance scale
+    assert floors.max() > 1e-5
+    assert floors.max() < 1e-2
     for i in range(2):
         m.x[:] = x[i]
         with warnings.catch_warnings():
             warnings.simplefilter("ignore")
             y = A.run(m, np.broadcast_to(u_lanes[i][:, None],
                                          (m.nu, 150)).copy())
-        # ... but the returned states are still output-quiet under the
-        # host (period-2-aware: eigenvalue -1 alternation is on-orbit)
+        # the certified states are output-quiet under the host
+        # (period-2-aware: eigenvalue -1 alternation is on-orbit)
         assert np.max(np.abs(y[:, 2:] - y[:, :-2])) < 1e-6
         assert np.max(np.abs(y[:, 0])) < 1e-3
 
