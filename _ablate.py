@@ -35,6 +35,9 @@ CONFIGS = {
     "polfix2":     dict(polish_fixed=2),
     "polfix3":     dict(polish_fixed=3),
     "comp_off":    dict(compensated=False, df_polish=False),
+    # round-4 verdict-tier candidates at the production prefix depth
+    "cf2":         dict(polish_fixed=2, df_polish="comp_final"),
+    "pf2":         dict(polish_fixed=2),
 }
 
 def main():

@@ -2342,9 +2342,35 @@ class FusedRunner:
                                       (sel.size, m.nu)).astype(float).copy()
             if nu_l0 and lane_values.size:
                 u_lanes[:, list(self.lane_idx)] = lane_values[sel, :nu_l0]
-            xs, zs, cv, fl = steadystate_sweep(m, u_lanes, runin=runin,
-                                               rounds=rounds,
-                                               return_floors=True)
+            # dedup identical steady problems: lanes that differ only in
+            # SCALE columns (e.g. a 4096-level input sweep) all share one
+            # constant-input vector here, so solve each unique row once
+            # and scatter (measured: the level sweep's steady seeding was
+            # 4096 copies of the same solve, ~13 min of pure waste)
+            uu, inv = np.unique(u_lanes, axis=0, return_inverse=True)
+            if uu.shape[0] < u_lanes.shape[0]:
+                xs, zs, cv, fl = steadystate_sweep(m, uu, runin=runin,
+                                                   rounds=rounds,
+                                                   return_floors=True)
+                if not cv.all() and uu.shape[0] <= 64:
+                    # dedup made these solves cheap, so failed unique rows
+                    # get one LONG run-in retry: the chain superover's vb
+                    # bias rail settles with tau ~ 30k-150k samples, far
+                    # past the short-run-in + Newton-jump budget when the
+                    # jump is too big for the branch-guarded verify
+                    # (measured at drive=tone=1.0: runin=512 fails,
+                    # runin=65536 certifies)
+                    bad = np.nonzero(~cv)[0]
+                    xs2, zs2, cv2, fl2 = steadystate_sweep(
+                        m, uu[bad], runin=max(runin, 65536), rounds=rounds,
+                        return_floors=True)
+                    xs[bad], zs[bad] = xs2, zs2
+                    cv[bad], fl[bad] = cv2, fl2
+                xs, zs, cv, fl = xs[inv], zs[inv], cv[inv], fl[inv]
+            else:
+                xs, zs, cv, fl = steadystate_sweep(m, u_lanes, runin=runin,
+                                                   rounds=rounds,
+                                                   return_floors=True)
             conv[sel] = cv
             floors_l[sel, :fl.shape[1]] = fl
             if self.nx:

@@ -30,7 +30,12 @@ same per-lane steady states; the scan engine itself is pinned against
 the per-sample host runtime at <= -110 dB by tests/, and the host
 runtime against independent 50-digit mpmath traces by
 tests/test_golden.py) on both the first window and the chained steady
-window; the JSON carries worst and median.  References are cached on
+window; the JSON carries worst and median.  The reference solves run at
+oracle tol=1e-12, NOT the reference-faithful 1e-10 (solvers.jl:175):
+at max-slew samples the residual->z sensitivity spikes and the 1e-10
+oracle carries ~-92 dB of its own solver noise -- which was the entire
+round-3 "parity floor" (every fused solver tier measured identically
+against it; the 1e-12 and 1e-13 oracle series agree to <= -133 dB).  References are cached on
 disk (.hostref_cache.npz, committed) -- they are deterministic, and the
 fused outputs under test are always fresh.  The per-lane steady seeds
 are likewise cached (.steadyseed_cache.npz) -- deterministic host-side
@@ -109,17 +114,27 @@ def _scan_parity_worker(payload):
     from acme_tpu.engine import compile_model
 
     model = _build_model(sweep, variant, fs)
+    # REFERENCE TOLERANCE MATTERS: the reference-faithful absolute Newton
+    # tolerance (1e-10, solvers.jl:175) leaves ~1e-5 z error at max-slew
+    # samples where the residual->z sensitivity spikes -- measured: the
+    # 1e-10 oracle differs from a 1e-13 oracle by -92.5 dB worst on the
+    # level sweep, which was the ENTIRE round-3 "parity floor" (every
+    # fused config measured identically against it).  References for a
+    # -100 dB parity target therefore run at tol=1e-12 (validated: the
+    # 1e-12 and 1e-13 oracle series agree to <= -133 dB).
+    cm = compile_model(model, tol=1e-12)
     # steady seeding: exact per-lane fixed points can sit at operating
     # points whose f64 residual floor is just above the engine's strict
     # 1e-10 absolute tolerance; a slightly relaxed tol keeps the solves
     # certifying there (z error ~ cond * 1e-9, far below parity scale)
-    cm = compile_model(model, tol=1e-9 if powerup == "steady" else None)
+    cm_seed = compile_model(model, tol=1e-9) if powerup == "steady" \
+        else None
     base = 0.2 * np.sin(2 * np.pi * 1000 / fs * np.arange(T))
     if sweep == "pots":
         lane_values = np.stack([drives, tones], axis=1)
         # powerup="steady": the fused run starts at the per-lane steady
         # state, so the reference must too (same protocol both sides)
-        state = cm.steady_initial_state(lane_values, (1, 2)) \
+        state = cm_seed.steady_initial_state(lane_values, (1, 2)) \
             if powerup == "steady" else None
         y_pw, state, _ = cm.run_sweep(base[None, :], lane_values, (1, 2),
                                       state=state)
@@ -132,7 +147,7 @@ def _scan_parity_worker(payload):
         state = None
         if powerup == "steady":
             # level lanes share one steady state (input scale, audio at 0)
-            s1 = cm.steady_initial_state()
+            s1 = cm_seed.steady_initial_state()
             state = cm.initial_state(len(levels), x=np.asarray(s1["x"])[0])
             state["warms"] = tuple(
                 type(w)(p=np.broadcast_to(np.asarray(sw.p)[0],
@@ -167,7 +182,9 @@ def _parity_refs(args, sweep, variant, T, reps, powerup, lanes_sel,
     def lanekey(i):
         lv, d, tn = lane_params(i)
         tag = "_steady" if powerup == "steady" else ""
-        return ("scan1_{}_{}_fs{}_T{}_r{}_lv{:.6f}_d{:.6f}_t{:.6f}{}"
+        # scan2: references at oracle tol=1e-12 (scan1 keys carried the
+        # reference-faithful 1e-10 solver's own -92 dB noise)
+        return ("scan2_{}_{}_fs{}_T{}_r{}_lv{:.6f}_d{:.6f}_t{:.6f}{}"
                 .format(sweep, variant, args.fs, T, reps, lv, d, tn, tag))
 
     missing = [i for i in lanes_sel if lanekey(i) + "_pw" not in cache]

@@ -141,6 +141,55 @@ def test_fused_powerup_steady_knob():
     assert np.max(np.abs(y[0, 0] - y[0, 0, 0])) < 5e-4   # flat: no transient
 
 
+def test_fused_steady_initial_state_dedups_duplicate_rows(monkeypatch):
+    """Lanes that differ only in scale columns share one constant-input
+    steady problem: steady_initial_state must solve each unique row once
+    (measured: a 4096-level input sweep was 4096 copies of the same
+    solve, ~13 min of pure waste) and scatter the result."""
+    import acme_tpu.runtime as R
+
+    calls = []
+    orig = R.steadystate_sweep
+
+    def counting(m, u_lanes, **kw):
+        calls.append(np.asarray(u_lanes).shape[0])
+        return orig(m, u_lanes, **kw)
+
+    monkeypatch.setattr(R, "steadystate_sweep", counting)
+    m = M.birdie_model()
+    fr = FusedRunner(m, lane_input_idx=(1,), time_chunk=32,
+                     newton_iters=12, tol=1e-9, interpret=True,
+                     compensated=False, extrapolate=False)
+    vols = np.concatenate([np.full(64, 0.2), np.full(64, 0.9)])[:, None]
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        state = fr.steady_initial_state(vols)
+    assert calls == [2]            # 128 lanes, 2 unique rows
+    # scattered states are lane-constant within each duplicate block
+    x = np.asarray(state["x"]).reshape(m.nx, -1)
+    assert np.ptp(x[:, :64], axis=1).max() == 0.0
+    assert np.ptp(x[:, 64:], axis=1).max() == 0.0
+
+
+@pytest.mark.slow
+def test_steadystate_sweep_certifies_chain_superover_endstop():
+    """drive=tone=1.0 (pot end-stop) chain superover: the vb bias rail
+    settles with tau ~ 30k samples, so a long run-in is needed; the host
+    arbiter must then accept the candidate even though the host solver's
+    own first samples show a small RELAXING excursion (~1e-5 relative,
+    tau ~ 1e3) from landing on a slightly different z -- solver noise,
+    not a root walk-away (the round-3 arbiter read that excursion as
+    drift and kept the whole level sweep cold)."""
+    m = M.superover_model(drive=1.0, tone=1.0, level=1.0, fs=44100,
+                          vb_source=True)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        x, z, conv = steadystate_sweep(m, np.zeros((1, m.nu)),
+                                       runin=65536, attempts=1)
+    assert conv.all()
+    assert np.isfinite(x).all() and np.isfinite(z).all()
+
+
 def test_engine_steady_initial_state_birdie():
     """Seeded f64 scan engine: from steady_initial_state the output is
     flat at each lane's steady value from sample 0 (no transient)."""
