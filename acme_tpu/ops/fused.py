@@ -2097,6 +2097,17 @@ class FusedRunner:
         by 8 (Mosaic block-shape constraint), i.e. groups of >= 1024
         lanes; smaller requests fall back to min(8, S)."""
         Sg = min(self.group_S, S)
+        # VMEM safety caps (16 MiB Mosaic scoped-stack limit), measured
+        # on the superover chain kernel: one 16384-lane group overflows
+        # outright (20.4 MiB of per-lane tables + state), so a single
+        # group is capped at 8192 lanes (measured fit); and MULTI-group
+        # grids double-buffer each group's tables for prefetch, so split
+        # runs overflow even with 8192-lane groups (16.2 MiB) -- any
+        # split is capped at 4096-lane groups, which costs little
+        # (aggregate throughput saturates by 4096 lanes).
+        Sg = min(Sg, 8192 // LANE)
+        if Sg < S:
+            Sg = min(Sg, 4096 // LANE)
         while S % Sg:
             Sg -= 1
         if Sg < 8 and Sg != S:

@@ -544,6 +544,18 @@ def main():
                     extras["full_parity_db"] = full["parity_db"]
                     extras["full_parity_steady_db"] = \
                         full["parity_steady_db"]
+                # lane-scaling curve (level sweep, no parity): RT/lane at
+                # the other lane counts so the throughput-vs-latency
+                # trade-off is a tracked number, not a README-only table
+                for Ls in (1024, 8192, 16384):
+                    if time.time() - t_start > 2400:
+                        log(f"lane-scaling run at {Ls} SKIPPED (soft "
+                            "time budget)")
+                        extras[f"level_rt_{Ls}"] = None
+                        continue
+                    sc = run_fused(a2, "level", "chain", Ls, 2, 0,
+                                   f"scale{Ls}")
+                    extras[f"level_rt_{Ls}"] = sc["rt"]
     else:
         if args.sweep != "pots":
             raise SystemExit("--engine scan supports --sweep pots only")
