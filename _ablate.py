@@ -38,6 +38,13 @@ CONFIGS = {
     # round-4 verdict-tier candidates at the production prefix depth
     "cf2":         dict(polish_fixed=2, df_polish="comp_final"),
     "pf2":         dict(polish_fixed=2),
+    # eval-count reduction candidates: shallower polish prefix and
+    # polish-only (the warm start's first polish step IS the Newton step)
+    "cf1":         dict(polish_fixed=1, df_polish="comp_final"),
+    "co2":         dict(polish_only=True, fast_iters=0, polish_fixed=2,
+                        df_polish="comp_final"),
+    "co1":         dict(polish_only=True, fast_iters=0, polish_fixed=1,
+                        df_polish="comp_final"),
 }
 
 def main():
