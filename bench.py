@@ -287,6 +287,7 @@ def run_fused(args, sweep, variant, L, reps, parity_lanes, label):
                      polish_fixed=args.polish_fixed,
                      verdict_refine=args.verdict_refine,
                      verdict_jac=args.verdict_jac,
+                     df_solve=getattr(args, "df_solve", False),
                      powerup=powerup, **lane_cfg)
     log(f"[{label}] runner build (centering + floors): "
         f"{time.time()-t0:.1f}s")
@@ -431,6 +432,15 @@ def main():
                          "fast config from x = 0")
     ap.add_argument("--no-powerup-phase", action="store_true",
                     help="deprecated alias for --powerup none")
+    ap.add_argument("--df-solve", action="store_true",
+                    help="solve the final verdict's Newton system in "
+                         "double-float (requires a df verdict tier; "
+                         "fixes null-direction z error at cond spikes)")
+    ap.add_argument("--compare-verdicts", action="store_true",
+                    help="after the primary run, re-measure the primary "
+                         "workload under the plain_final (full-df "
+                         "verdict) and df_solve tiers: RT + parity per "
+                         "tier in the extras (VERDICT r3 ask #2)")
     ap.add_argument("--parity-lanes", type=int, default=16,
                     help="stratified parity sample size (0 disables)")
     ap.add_argument("--smoke", action="store_true",
@@ -514,6 +524,26 @@ def main():
                             args.parity_lanes, "primary")
         rt_per_lane = primary.pop("rt")
         extras.update(primary)
+        if args.compare_verdicts and not args.smoke:
+            # verdict-tier comparison on the primary workload (same seeds,
+            # same parity references -- the run protocol is identical, so
+            # windows line up): comp_final (the production default above)
+            # vs the full-df verdict vs the df-elimination verdict
+            import copy
+            for name, over in (
+                    ("plainfinal", dict(df_polish="plain_final")),
+                    ("dfsolve", dict(df_polish="plain_final",
+                                     df_solve=True))):
+                a3 = copy.copy(args)
+                for k, v in over.items():
+                    setattr(a3, k.replace("-", "_"), v)
+                r = run_fused(a3, args.sweep, args.model, L, args.reps,
+                              args.parity_lanes, name)
+                extras[f"{name}_rt"] = r["rt"]
+                if "parity_steady_db" in r:
+                    extras[f"{name}_parity_db"] = r["parity_db"]
+                    extras[f"{name}_parity_steady_db"] = \
+                        r["parity_steady_db"]
         # secondary tracked numbers (VERDICT r3 asks 2/6/7): the round-3
         # input-level sweep and the reference-faithful un-decomposed
         # superover keep measured numbers next to the headline.  Skipped
