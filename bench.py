@@ -112,6 +112,8 @@ def _scan_parity_worker(payload):
 
     jax.config.update("jax_platforms", "cpu")
     from acme_tpu.engine import compile_model
+    from acme_tpu.ops.fused import enable_compile_cache
+    enable_compile_cache()  # scan compiles are minutes on one core; cache them
 
     model = _build_model(sweep, variant, fs)
     # REFERENCE TOLERANCE MATTERS: the reference-faithful absolute Newton
@@ -165,10 +167,30 @@ def _scan_parity_worker(payload):
             np.asarray(y_st[:, 0, :], np.float32))
 
 
+def _select_parity_lanes(L, K):
+    """Stratified parity lane sample: 4 corners + seeded interior.
+    Deterministic (fixed seed) so bench runs and --gen-refs agree on
+    which lanes carry cached references."""
+    import numpy as np
+    rng = np.random.default_rng(20260817)
+    corners = [0, L - 1, L // 2, 1] if L >= 4 else list(range(L))
+    interior = sorted(
+        set(rng.integers(2, max(L - 2, 3), size=4 * K).tolist())
+        - set(corners))[:max(0, K - len(corners))]
+    return sorted(set(corners[:K]) | set(interior))
+
+
 def _parity_refs(args, sweep, variant, T, reps, powerup, lanes_sel,
-                 lane_params):
+                 lane_params, cached_only=False):
     """Fetch (or compute + cache) the f64 scan-engine references for the
-    selected lanes; returns [(y_pw, y_st)] per lane."""
+    selected lanes; returns ([(y_pw, y_st)], lanes) for the lanes that
+    have references.
+
+    ``cached_only=True`` (the secondary-run mode) never COMPUTES
+    references -- a cold 16-lane tol=1e-12 oracle run costs ~1 h of
+    single-core CPU, which must never gate a timed benchmark.  Lanes
+    without cached references are dropped from the parity sample with a
+    log line (no silent caps); RT numbers are unaffected."""
     import numpy as np
     cache_path = os.environ.get(
         "ACME_TPU_HOSTREF_CACHE", os.path.join(HERE, ".hostref_cache.npz"))
@@ -189,13 +211,19 @@ def _parity_refs(args, sweep, variant, T, reps, powerup, lanes_sel,
 
     missing = [i for i in lanes_sel if lanekey(i) + "_pw" not in cache]
     t0 = time.time()
+    if missing and cached_only:
+        log(f"parity refs: {len(missing)}/{len(lanes_sel)} lanes have no "
+            "cached reference and cached_only is set (secondary run); "
+            "scoring parity on the cached subset only")
+        lanes_sel = [i for i in lanes_sel if i not in set(missing)]
+        missing = []
     if missing:
         payload = (sweep, variant, args.fs, T, reps,
                    np.array([lane_params(i)[0] for i in missing]),
                    np.array([lane_params(i)[1] for i in missing]),
                    np.array([lane_params(i)[2] for i in missing]),
                    powerup)
-        if args.smoke:
+        if args.smoke or getattr(args, "gen_refs", False):
             ys_pw, ys_st = _scan_parity_worker(payload)
         else:
             import multiprocessing as mp
@@ -217,8 +245,8 @@ def _parity_refs(args, sweep, variant, T, reps, powerup, lanes_sel,
     log(f"float64 parity refs (scan engine): {len(lanes_sel)} lanes "
         f"({len(missing)} computed, {len(lanes_sel)-len(missing)} cached) "
         f"in {time.time()-t0:.1f}s")
-    return [(cache[lanekey(i) + "_pw"], cache[lanekey(i) + "_st"])
-            for i in lanes_sel]
+    return ([(cache[lanekey(i) + "_pw"], cache[lanekey(i) + "_st"])
+             for i in lanes_sel], lanes_sel)
 
 
 def _steady_seed_cached(fr, lane_values, tag):
@@ -257,7 +285,8 @@ def _steady_seed_cached(fr, lane_values, tag):
     return state
 
 
-def run_fused(args, sweep, variant, L, reps, parity_lanes, label):
+def run_fused(args, sweep, variant, L, reps, parity_lanes, label,
+              parity_cached_only=False):
     """One fused benchmark: build, power up / seed, time chained runs,
     parity-check a stratified lane sample.  Returns a metrics dict."""
     import numpy as np
@@ -337,20 +366,17 @@ def run_fused(args, sweep, variant, L, reps, parity_lanes, label):
 
     if parity_lanes > 0:
         K = min(parity_lanes, L)
-        rng = np.random.default_rng(20260817)
-        corners = [0, L - 1, L // 2, 1] if L >= 4 else list(range(L))
-        interior = sorted(
-            set(rng.integers(2, max(L - 2, 3), size=4 * K).tolist())
-            - set(corners))[:max(0, K - len(corners))]
-        lanes_sel = sorted(set(corners[:K]) | set(interior))
+        lanes_sel = _select_parity_lanes(L, K)
 
         def lane_params(i):
             return (float(levels[i]) if levels is not None else 1.0,
                     float(drive[i]) if drive is not None else 1.0,
                     float(tone[i]) if tone is not None else 1.0)
 
-        results = _parity_refs(args, sweep, variant, T, reps, args.powerup,
-                               lanes_sel, lane_params)
+        results, lanes_sel = _parity_refs(args, sweep, variant, T, reps,
+                                          args.powerup, lanes_sel,
+                                          lane_params,
+                                          cached_only=parity_cached_only)
         dbs_pw, dbs_st = [], []
         for i, (yh_pw, yh_st) in zip(lanes_sel, results):
             ref = max(float(np.max(np.abs(yh_st))), 1e-12)
@@ -364,14 +390,54 @@ def run_fused(args, sweep, variant, L, reps, parity_lanes, label):
             dbs_st.append(db_st)
             log(f"[{label}]   lane {i}: power-up {db_pw:.1f} dB, "
                 f"steady {db_st:.1f} dB")
-        out["parity_db"] = round(max(dbs_pw), 1)
-        out["parity_steady_db"] = round(max(dbs_st), 1)
-        out["parity_median_db"] = round(float(np.median(dbs_st)), 1)
-        out["parity_lanes"] = len(lanes_sel)
-        log(f"[{label}] parity: power-up worst {out['parity_db']} dB; "
-            f"steady worst {out['parity_steady_db']} dB median "
-            f"{out['parity_median_db']} dB over {len(lanes_sel)} lanes")
+        if dbs_st:
+            out["parity_db"] = round(max(dbs_pw), 1)
+            out["parity_steady_db"] = round(max(dbs_st), 1)
+            out["parity_median_db"] = round(float(np.median(dbs_st)), 1)
+            out["parity_lanes"] = len(lanes_sel)
+            log(f"[{label}] parity: power-up worst {out['parity_db']} dB; "
+                f"steady worst {out['parity_steady_db']} dB median "
+                f"{out['parity_median_db']} dB over {len(lanes_sel)} lanes")
+        else:
+            log(f"[{label}] parity: SKIPPED (no cached references; "
+                "cached-only secondary run)")
     return out
+
+
+def gen_refs(args):
+    """Regenerate the f64 parity-reference cache (CPU-only; no TPU).
+
+    Computes the scan-engine oracle series for every (workload, lane)
+    the default bench run scores -- the pots-grid primary plus the
+    level-sweep and full-model secondaries -- in small lane chunks so
+    progress persists across interruptions (a cold full regeneration is
+    hours of single-core CPU; each chunk saves the cache on completion).
+    Run once after a protocol or oracle change, then commit
+    .hostref_cache.npz so timed bench runs stay warm."""
+    args.gen_refs = True
+    T = max(16, int(round(args.seconds * args.fs)))
+    L = args.lanes
+    jobs = [
+        ("pots", args.model, args.reps, "steady",
+         min(args.parity_lanes, 16)),
+        ("level", "chain", 2, "safe", min(args.parity_lanes, 16)),
+        ("level", "full", 2, "safe", min(args.parity_lanes, 8)),
+    ]
+    for sweep, variant, reps, powerup, K in jobs:
+        levels, drive, tone, _lv, _cfg = _lane_grid(sweep, L)
+        lanes_sel = _select_parity_lanes(L, min(K, L))
+
+        def lane_params(i, levels=levels, drive=drive, tone=tone):
+            return (float(levels[i]) if levels is not None else 1.0,
+                    float(drive[i]) if drive is not None else 1.0,
+                    float(tone[i]) if tone is not None else 1.0)
+
+        log(f"gen-refs: {sweep}/{variant} reps={reps} powerup={powerup} "
+            f"lanes={lanes_sel}")
+        for c in range(0, len(lanes_sel), 4):
+            _parity_refs(args, sweep, variant, T, reps, powerup,
+                         lanes_sel[c:c + 4], lane_params)
+    log("gen-refs: done")
 
 
 def main():
@@ -445,6 +511,9 @@ def main():
                     help="stratified parity sample size (0 disables)")
     ap.add_argument("--smoke", action="store_true",
                     help="tiny CPU-safe smoke run")
+    ap.add_argument("--gen-refs", action="store_true",
+                    help="regenerate the f64 parity-reference cache on "
+                         "CPU (no TPU; hours cold, resumable) and exit")
     ap.add_argument("--no-parity", action="store_true",
                     help="skip the float64 host parity check")
     ap.add_argument("--primary-only", action="store_true",
@@ -457,6 +526,12 @@ def main():
         args.powerup = "steady" if args.sweep == "pots" else "safe"
     if args.no_parity:
         args.parity_lanes = 0
+
+    if args.gen_refs:
+        os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        gen_refs(args)
+        return
 
     if args.smoke:
         # CPU sanity path: the float64 scan engine compiles quickly on CPU;
@@ -538,7 +613,8 @@ def main():
                 for k, v in over.items():
                     setattr(a3, k.replace("-", "_"), v)
                 r = run_fused(a3, args.sweep, args.model, L, args.reps,
-                              args.parity_lanes, name)
+                              args.parity_lanes, name,
+                              parity_cached_only=True)
                 extras[f"{name}_rt"] = r["rt"]
                 if "parity_steady_db" in r:
                     extras[f"{name}_parity_db"] = r["parity_db"]
@@ -561,14 +637,16 @@ def main():
                 a2 = copy.copy(args)
                 a2.powerup = "safe"
                 lvl = run_fused(a2, "level", "chain", L, 2,
-                                min(args.parity_lanes, 16), "level")
+                                min(args.parity_lanes, 16), "level",
+                                parity_cached_only=True)
                 extras["level_rt"] = lvl["rt"]
                 if "parity_steady_db" in lvl:
                     extras["level_parity_db"] = lvl["parity_db"]
                     extras["level_parity_steady_db"] = \
                         lvl["parity_steady_db"]
                 full = run_fused(a2, "level", "full", L, 2,
-                                 min(args.parity_lanes, 8), "full")
+                                 min(args.parity_lanes, 8), "full",
+                                 parity_cached_only=True)
                 extras["full_rt"] = full["rt"]
                 if "parity_steady_db" in full:
                     extras["full_parity_db"] = full["parity_db"]
