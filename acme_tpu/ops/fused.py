@@ -83,9 +83,18 @@ class FusedInfo(NamedTuple):
     acceptance gate (the reference's warn path, ACME.jl:688-694).
     ``iters``: (L, nsub) int32, total Newton iterations per subsystem over
     the run (the reference's needediterations counters, solvers.jl:205).
+    ``floored``: (L,) int32, samples ACCEPTED above the gate via the
+    polish floor-stall latch (non-contracting unclipped steps at the f32
+    evaluation floor, ceilinged at 1e3x the gate and guarded by z
+    plausibility): the best point this precision admits.  Counted
+    separately so floor acceptance never hides how often it happens;
+    accuracy on such samples is bounded by the parity checks, not the
+    gate.  (The reference warns per sample at such operating points,
+    ACME.jl:688-691.)
     """
     fails: "jnp.ndarray"
     iters: "jnp.ndarray"
+    floored: "jnp.ndarray" = None
 
 
 def _f(x):
@@ -922,14 +931,16 @@ class FusedRunner:
             return acc
 
         pivot = self.pivot
+        diag_subfails = getattr(self, "diag_subfails", False)
+        diag_failres = getattr(self, "diag_failres", False)
 
         def kernel(u_ref, lane_ref, tol_ref, gate_ref, ch_ref, cl_ref,
                    x_in, xlo_in, z_in, zlo_in, zw_in, wp_in, dzdp_in,
                    pmode_in,
                    y_ref, x_out, xlo_out, z_out, zlo_out, zw_out, wp_out,
-                   dzdp_out, pmode_out, fail_out, iters_out,
+                   dzdp_out, pmode_out, fail_out, iters_out, floored_out,
                    x_s, xlo_s, z_s, zlo_s, zw_s, wp_s, dzdp_s, pmode_s,
-                   fail_s, iters_s):
+                   fail_s, iters_s, floored_s):
             # grid = (lane groups, time chunks), time fastest: each group
             # runs its whole time axis with state resident in VMEM scratch,
             # then the next group starts (re-initializing from its in-block)
@@ -953,6 +964,7 @@ class FusedRunner:
                 pmode_s[...] = pmode_in[...]
                 fail_s[...] = jnp.zeros_like(fail_s)
                 iters_s[...] = jnp.zeros_like(iters_s)
+                floored_s[...] = jnp.zeros_like(floored_s)
 
             lane_vals = [lane_ref[j] for j in range(nu_l_total)]
             if nvar:
@@ -989,6 +1001,7 @@ class FusedRunner:
                 z_lo_all = [zlo_s[j] for j in range(nn_total)] if dfs \
                     else None
                 any_fail = None
+                any_floor = None
                 for ksub, sub in enumerate(subs):
                     nn_k, np_k, nq_k = sub["nn"], sub["np"], sub["nq"]
                     o, po, do = sub["off"], sub["poff"], sub["doff"]
@@ -1059,15 +1072,27 @@ class FusedRunner:
                             base = cval(sub["q0"][ci])
                             pfull.append(base if acc is None else acc + base)
 
-                    # extrapolated warm start (solvers.jl:209-215)
+                    # extrapolated warm start (solvers.jl:209-215).  The
+                    # JUMP (dzdp . dp) is bounded to a few Newton trust
+                    # regions: near a singular J the sensitivity times a
+                    # large dp (power-up step, pot slam) predicts a move
+                    # of ~1e10 units that teleports the start outside any
+                    # basin -- downstream steps are clipped to zclip per
+                    # iteration and can never walk back (measured: ideal
+                    # current-source diode, first-sample start at 2.5e10
+                    # that round 4 then silently self-certified).  A
+                    # legitimate audio-rate extrapolation moves << zclip;
+                    # a capped start still lands closer than zw alone.
                     if extrap_use and np_k:
                         dp = [p[i] - wp_s[po + i] for i in range(np_k)]
                         z0 = []
                         for i1 in range(nn_k):
-                            acc = zw_s[o + i1]
+                            acc = None
                             for i2 in range(np_k):
-                                acc = acc + dzdp_s[do + i1 * np_k + i2] * dp[i2]
-                            z0.append(acc)
+                                term = dzdp_s[do + i1 * np_k + i2] * dp[i2]
+                                acc = term if acc is None else acc + term
+                            z0.append(zw_s[o + i1] + jnp.clip(
+                                acc, -zclip[i1], zclip[i1]))
                     else:
                         z0 = [zw_s[o + i1] for i1 in range(nn_k)]
                     z0s = jnp.stack([jnp.broadcast_to(
@@ -1712,6 +1737,14 @@ class FusedRunner:
                             # counts it converged.  Latched: the freeze
                             # de-activates the lane immediately after, so
                             # a last-state flag would never stick.
+                            # CEILINGED at 1e3x the gate (round 5): in a
+                            # clamped-exponential plateau (junction driven
+                            # volts past any root, elements._exp) the
+                            # residual is CONSTANT and the Newton step a
+                            # small unclipped vt-crawl -- the latch fired
+                            # on residuals of ~1e22 and silently certified
+                            # garbage.  A genuine f32 evaluation floor is
+                            # within ~1e2 of the gate by construction.
                             unclip = None
                             for ai in range(nn_k):
                                 u_i = jnp.abs(dz[ai]) < 0.9 * zclip[ai]
@@ -1719,7 +1752,8 @@ class FusedRunner:
                                     else unclip & u_i
                             pstall = jnp.maximum(
                                 pstall, (not_contracting & unclip
-                                         & (resmax_c >= tol_pol))
+                                         & (resmax_c >= tol_pol)
+                                         & (resmax_c < 1e3 * gate_eff_f))
                                 .astype(jnp.float32))
                             act = fin & ((k == 0)
                                          | ((resmax_c >= tol_pol)
@@ -1926,23 +1960,64 @@ class FusedRunner:
                     # converged = the polish residual passed the acceptance
                     # gate; failures follow the reference's warn path.
                     # Floor-stalled lanes (polish at its own f32 floor on
-                    # unclipped steps) count as converged: their answer is
-                    # the best this precision admits.
-                    conv = (resmax_c < gate_eff_f) | (pstall > 0.5)
-                    fail_k = jnp.logical_not(conv)
-                    any_fail = fail_k if any_fail is None else (any_fail | fail_k)
-                    pmode_s[ksub] = pstall
-                    iters_s[ksub] = iters_s[ksub] + itv_t.astype(jnp.int32)
-                    # plausibility: centered z of an audio circuit stays
-                    # within ~1e2; a failed lane carrying |z| beyond 1e4
-                    # (or non-finite) has diverged, and writing it into the
-                    # state poisons x and every later sample.  Substitute
-                    # the last good solution (zw) -- the sample stays
-                    # flagged and the next one retries from a sane state.
-                    implaus = jnp.logical_not(jnp.isfinite(resmax_c))
+                    # unclipped steps, or the df-rescue's certified floor)
+                    # count as converged -- their answer is the best any
+                    # precision admits -- but ONLY at a plausible z: a
+                    # runaway lane (flat residual walking z out of the
+                    # physical range, e.g. a reverse-driven junction) can
+                    # stall small residuals at |z| ~ 1e5 and must stay a
+                    # fail (and get the zw substitution below).  A
+                    # NON-FINITE verdict residual alone does not block the
+                    # stall acceptance: the polish keeps the pre-step z on
+                    # non-finite evals (``fin``), so z itself is the last
+                    # good floor point even when one df verdict eval
+                    # overflowed (measured: hard-driven junction rows).
+                    z_implaus = None
                     for i1 in range(nn_k):
-                        implaus = implaus | jnp.logical_not(
-                            jnp.isfinite(z[i1])) | (jnp.abs(z[i1]) > 1e4)
+                        bad_i = jnp.logical_not(
+                            jnp.isfinite(zp[i1])) | (jnp.abs(zp[i1]) > 1e4)
+                        z_implaus = bad_i if z_implaus is None \
+                            else (z_implaus | bad_i)
+                    conv = (resmax_c < gate_eff_f) \
+                        | ((pstall > 0.5) & jnp.logical_not(z_implaus))
+                    fail_k = jnp.logical_not(conv)
+                    implaus = z_implaus | jnp.logical_not(
+                        jnp.isfinite(resmax_c))
+                    any_fail = fail_k if any_fail is None else (any_fail | fail_k)
+                    # floor-accepted: converged via the stall certificate
+                    # while the residual sits above the gate -- counted
+                    # separately (FusedInfo.floored) so acceptance never
+                    # hides how often the dead zone was traversed
+                    floor_k = conv & jnp.logical_not(
+                        resmax_c < gate_eff_f)
+                    any_floor = floor_k if any_floor is None \
+                        else (any_floor | floor_k)
+                    pmode_s[ksub] = pstall
+                    # diag_subfails: repurpose the per-subsystem iteration
+                    # counter as a per-subsystem FAIL counter (FusedInfo
+                    # carries no per-sub fail breakdown; this trace-time
+                    # switch makes "which subsystem misses its gate?"
+                    # measurable without a kernel-signature change).
+                    # diag_failres: same channel, max over fail samples of
+                    # the verdict-residual/gate ratio ("how far above the
+                    # gate do failing samples sit?").
+                    if diag_failres:
+                        ratio = jnp.where(
+                            fail_k & jnp.isfinite(resmax_c),
+                            jnp.minimum(resmax_c / gate_eff_f, 1e6), 0.0)
+                        iters_s[ksub] = jnp.maximum(
+                            iters_s[ksub], ratio.astype(jnp.int32))
+                    else:
+                        iters_s[ksub] = iters_s[ksub] + (
+                            fail_k.astype(jnp.int32) if diag_subfails
+                            else itv_t.astype(jnp.int32))
+                    # plausibility substitution: centered z of an audio
+                    # circuit stays within ~1e2; a failed lane carrying
+                    # |z| beyond 1e4 (or non-finite; the ``implaus`` mask
+                    # above) has diverged, and writing it into the state
+                    # poisons x and every later sample.  Substitute the
+                    # last good solution (zw) -- the sample stays flagged
+                    # and the next one retries from a sane state.
                     zsub = fail_k & implaus
                     for i1 in range(nn_k):
                         z_all[o + i1] = jnp.where(zsub, zw_s[o + i1], z[i1])
@@ -2062,6 +2137,8 @@ class FusedRunner:
                         zlo_s[zi] = z_lo_all[zi]
                 if any_fail is not None:
                     fail_s[...] = fail_s[...] + any_fail.astype(jnp.int32)
+                    floored_s[...] = floored_s[...] \
+                        + any_floor.astype(jnp.int32)
 
             jax.lax.fori_loop(0, Tc, sample, 0)
 
@@ -2088,6 +2165,7 @@ class FusedRunner:
                 pmode_out[...] = pmode_s[...]
                 fail_out[...] = fail_s[...]
                 iters_out[...] = iters_s[...]
+                floored_out[...] = floored_s[...]
 
         return kernel, (nu_t, nu_l)
 
@@ -2198,6 +2276,8 @@ class FusedRunner:
             pl.BlockSpec((Sg, LANE), lambda g, i: (g, 0),
                          memory_space=pltpu.VMEM),
             grouped((nsub_m, Sg, LANE)),
+            pl.BlockSpec((Sg, LANE), lambda g, i: (g, 0),
+                         memory_space=pltpu.VMEM),
         ]
         fn = pl.pallas_call(
             kernel,
@@ -2216,6 +2296,7 @@ class FusedRunner:
                 jax.ShapeDtypeStruct((nsub_m, S_loc, LANE), dt),
                 jax.ShapeDtypeStruct((S_loc, LANE), jnp.int32),
                 jax.ShapeDtypeStruct((nsub_m, S_loc, LANE), jnp.int32),
+                jax.ShapeDtypeStruct((S_loc, LANE), jnp.int32),
             ],
             scratch_shapes=[
                 pltpu.VMEM((nx, Sg, LANE), dt),
@@ -2228,6 +2309,7 @@ class FusedRunner:
                 pltpu.VMEM((nsub_m, Sg, LANE), dt),
                 pltpu.VMEM((Sg, LANE), jnp.int32),
                 pltpu.VMEM((nsub_m, Sg, LANE), jnp.int32),
+                pltpu.VMEM((Sg, LANE), jnp.int32),
             ],
             interpret=self.interpret,
         )
@@ -2240,7 +2322,8 @@ class FusedRunner:
                 in_specs=(P(None, None), sh3, sh3, sh3, sh3, sh3,
                           sh3, sh3, sh3, sh3, sh3, sh3, sh3, sh3),
                 out_specs=(P(None, None, ax, None), sh3, sh3, sh3, sh3,
-                           sh3, sh3, sh3, sh3, P(ax, None), sh3),
+                           sh3, sh3, sh3, sh3, P(ax, None), sh3,
+                           P(ax, None)),
                 check_vma=False)
         jitted = jax.jit(fn)
         self._jit_cache[key] = jitted
@@ -2626,7 +2709,8 @@ class FusedRunner:
                                         check=False)
             y = jnp.concatenate([y1, y2], axis=2)
             info = FusedInfo(fails=info1.fails + info2.fails,
-                             iters=info1.iters + info2.iters)
+                             iters=info1.iters + info2.iters,
+                             floored=info1.floored + info2.floored)
             if check:
                 self._check_outputs(y, info)
             return y, state, info
@@ -2674,7 +2758,7 @@ class FusedRunner:
                     u_pad[:T0, :] = u_time.T
                 try:
                     (y, x_o, xlo_o, z_o, zlo_o, zw_o, wp_o, dz_o, pm_o,
-                     fails, iters) = fn(
+                     fails, iters, floored) = fn(
                         jnp.asarray(u_pad), jnp.asarray(lv),
                         jnp.asarray(tol_l), jnp.asarray(gate_l),
                         jnp.asarray(coef_hi), jnp.asarray(coef_lo),
@@ -2697,7 +2781,8 @@ class FusedRunner:
                  "zw": zw_o, "wp": wp_o, "dzdp": dz_o, "pmode": pm_o}
         info = FusedInfo(
             fails=fails.reshape(-1),
-            iters=jnp.transpose(iters, (1, 2, 0)).reshape(S * LANE, -1))
+            iters=jnp.transpose(iters, (1, 2, 0)).reshape(S * LANE, -1),
+            floored=floored.reshape(-1))
         if check:
             self._check_outputs(y, info)
         return y, state, info

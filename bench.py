@@ -167,17 +167,32 @@ def _scan_parity_worker(payload):
             np.asarray(y_st[:, 0, :], np.float32))
 
 
-def _select_parity_lanes(L, K):
-    """Stratified parity lane sample: 4 corners + seeded interior.
-    Deterministic (fixed seed) so bench runs and --gen-refs agree on
-    which lanes carry cached references."""
+def _select_parity_lanes(L, K, stress=()):
+    """Stratified parity lane sample: 4 corners + seeded interior, plus
+    any explicit ``stress`` lanes (added on top of K).  Deterministic
+    (fixed seed) so bench runs and --gen-refs agree on which lanes carry
+    cached references."""
     import numpy as np
     rng = np.random.default_rng(20260817)
     corners = [0, L - 1, L // 2, 1] if L >= 4 else list(range(L))
     interior = sorted(
         set(rng.integers(2, max(L - 2, 3), size=4 * K).tolist())
         - set(corners))[:max(0, K - len(corners))]
-    return sorted(set(corners[:K]) | set(interior))
+    return sorted(set(corners[:K]) | set(interior)
+                  | set(i for i in stress if 0 <= i < L))
+
+
+def _stress_lanes(sweep, L):
+    """Known hard lanes that the stratified sample under-covers, pinned
+    so the parity story is measured exactly where the solver works
+    hardest.  Pots grid: two dead-zone-TRAVERSAL lanes (drive ~0.76-0.78,
+    mid tone) where the audio swing crosses subsystem 1's residual dead
+    zone ~200 samples/s and the fused kernel logs its only convergence
+    fails (_diag_fails.py, round 5); their parity vs the f64 oracle is
+    what bounds those fails."""
+    if sweep == "pots" and L >= 64:
+        return [int(0.78711 * L), int(0.80713 * L)]
+    return []
 
 
 def _parity_refs(args, sweep, variant, T, reps, powerup, lanes_sel,
@@ -186,11 +201,15 @@ def _parity_refs(args, sweep, variant, T, reps, powerup, lanes_sel,
     selected lanes; returns ([(y_pw, y_st)], lanes) for the lanes that
     have references.
 
-    ``cached_only=True`` (the secondary-run mode) never COMPUTES
-    references -- a cold 16-lane tol=1e-12 oracle run costs ~1 h of
-    single-core CPU, which must never gate a timed benchmark.  Lanes
-    without cached references are dropped from the parity sample with a
-    log line (no silent caps); RT numbers are unaffected."""
+    ``cached_only=True`` (the default for ALL timed bench runs since
+    round 5) never COMPUTES references -- a cold 16-lane tol=1e-12
+    oracle run costs ~1 h of single-core CPU, which must never gate a
+    timed benchmark (round 4's driver run died exactly there,
+    BENCH_r04.json rc=124).  References come from the committed
+    .hostref_cache.npz, regenerated by ``--gen-refs`` after protocol
+    changes; lanes without cached references are dropped from the
+    parity sample with a log line (no silent caps); RT numbers are
+    unaffected."""
     import numpy as np
     cache_path = os.environ.get(
         "ACME_TPU_HOSTREF_CACHE", os.path.join(HERE, ".hostref_cache.npz"))
@@ -249,6 +268,14 @@ def _parity_refs(args, sweep, variant, T, reps, powerup, lanes_sel,
              for i in lanes_sel], lanes_sel)
 
 
+# Steady-seed cache protocol version: bump when steady_initial_state's
+# protocol, the model numbering, or the certified-floor contract changes
+# (same convention as the scan1->scan2 bump in _parity_refs lanekey) --
+# the committed .steadyseed_cache.npz would otherwise be silently reused
+# with stale state/floors.
+SEED_TAG_VER = "seed1"
+
+
 def _steady_seed_cached(fr, lane_values, tag):
     """Per-lane steady seeds are deterministic host-side numpy (~13 min
     at 4096 lanes), so cache them on disk (committed) keyed by the
@@ -286,7 +313,7 @@ def _steady_seed_cached(fr, lane_values, tag):
 
 
 def run_fused(args, sweep, variant, L, reps, parity_lanes, label,
-              parity_cached_only=False):
+              parity_cached_only=True):
     """One fused benchmark: build, power up / seed, time chained runs,
     parity-check a stratified lane sample.  Returns a metrics dict."""
     import numpy as np
@@ -322,7 +349,7 @@ def run_fused(args, sweep, variant, L, reps, parity_lanes, label,
         f"{time.time()-t0:.1f}s")
     state = None
     if powerup == "steady":
-        tag = f"seed1_{sweep}_{variant}_fs{args.fs}_L{L}"
+        tag = f"{SEED_TAG_VER}_{sweep}_{variant}_fs{args.fs}_L{L}"
         state = _steady_seed_cached(fr, lane_values, tag)
     t0 = time.time()
     y0, state, info0 = fr.run(u_time, lane_values, state=state,
@@ -355,6 +382,13 @@ def run_fused(args, sweep, variant, L, reps, parity_lanes, label,
     iters = np.asarray(info.iters).sum(1)
     out["fails_mean"] = round(float(fails.mean()), 2)
     out["fails_max"] = int(fails.max())
+    if info.floored is not None:
+        # samples accepted at a certified residual floor (dead-zone
+        # traversal; see FusedInfo.floored) -- reported next to fails so
+        # floor acceptance never hides the dead-zone count
+        fl = np.asarray(info.floored)
+        out["floored_mean"] = round(float(fl.mean()), 2)
+        out["floored_max"] = int(fl.max())
     out["iters_per_sample_mean"] = round(float(iters.mean()) / T, 2)
     audio_s = T / args.fs
     rt = audio_s / wall
@@ -366,17 +400,19 @@ def run_fused(args, sweep, variant, L, reps, parity_lanes, label,
 
     if parity_lanes > 0:
         K = min(parity_lanes, L)
-        lanes_sel = _select_parity_lanes(L, K)
+        lanes_sel = _select_parity_lanes(L, K, _stress_lanes(sweep, L))
 
         def lane_params(i):
             return (float(levels[i]) if levels is not None else 1.0,
                     float(drive[i]) if drive is not None else 1.0,
                     float(tone[i]) if tone is not None else 1.0)
 
+        cached_only = parity_cached_only and not getattr(
+            args, "compute_refs", False)
         results, lanes_sel = _parity_refs(args, sweep, variant, T, reps,
                                           args.powerup, lanes_sel,
                                           lane_params,
-                                          cached_only=parity_cached_only)
+                                          cached_only=cached_only)
         dbs_pw, dbs_st = [], []
         for i, (yh_pw, yh_st) in zip(lanes_sel, results):
             ref = max(float(np.max(np.abs(yh_st))), 1e-12)
@@ -409,10 +445,16 @@ def gen_refs(args):
 
     Computes the scan-engine oracle series for every (workload, lane)
     the default bench run scores -- the pots-grid primary plus the
-    level-sweep and full-model secondaries -- in small lane chunks so
-    progress persists across interruptions (a cold full regeneration is
-    hours of single-core CPU; each chunk saves the cache on completion).
-    Run once after a protocol or oracle change, then commit
+    level-sweep and full-model secondaries -- in lane chunks
+    (``--gen-refs-chunk``, default 16 = one batched run per job: the
+    scan engine is lane-vectorized and overhead-dominated on CPU, so a
+    16-lane batch costs barely more than a 4-lane one; smaller chunks
+    trade wall time for resumability, each chunk saving the cache on
+    completion).  The job matrix mirrors the DEFAULT bench
+    configuration (powerup/reps/lane caps as main() resolves them with
+    no flags); a bench run with non-default --powerup/--reps/--lanes
+    produces different cache keys and must gen-refs with the same
+    flags.  Run once after a protocol or oracle change, then commit
     .hostref_cache.npz so timed bench runs stay warm."""
     args.gen_refs = True
     T = max(16, int(round(args.seconds * args.fs)))
@@ -425,7 +467,8 @@ def gen_refs(args):
     ]
     for sweep, variant, reps, powerup, K in jobs:
         levels, drive, tone, _lv, _cfg = _lane_grid(sweep, L)
-        lanes_sel = _select_parity_lanes(L, min(K, L))
+        lanes_sel = _select_parity_lanes(L, min(K, L),
+                                         _stress_lanes(sweep, L))
 
         def lane_params(i, levels=levels, drive=drive, tone=tone):
             return (float(levels[i]) if levels is not None else 1.0,
@@ -434,9 +477,9 @@ def gen_refs(args):
 
         log(f"gen-refs: {sweep}/{variant} reps={reps} powerup={powerup} "
             f"lanes={lanes_sel}")
-        for c in range(0, len(lanes_sel), 4):
+        for c in range(0, len(lanes_sel), args.gen_refs_chunk):
             _parity_refs(args, sweep, variant, T, reps, powerup,
-                         lanes_sel[c:c + 4], lane_params)
+                         lanes_sel[c:c + args.gen_refs_chunk], lane_params)
     log("gen-refs: done")
 
 
@@ -514,8 +557,21 @@ def main():
     ap.add_argument("--gen-refs", action="store_true",
                     help="regenerate the f64 parity-reference cache on "
                          "CPU (no TPU; hours cold, resumable) and exit")
+    ap.add_argument("--gen-refs-chunk", type=int, default=16,
+                    help="lanes per gen-refs cache-save chunk (16 = one "
+                         "batched run per job, fastest; smaller chunks "
+                         "resume better)")
     ap.add_argument("--no-parity", action="store_true",
                     help="skip the float64 host parity check")
+    ap.add_argument("--compute-refs", action="store_true",
+                    help="allow the parity pass to COMPUTE missing "
+                         "references in-run (~1 h/16 lanes of single-core "
+                         "CPU; default scores from the committed cache "
+                         "only -- use --gen-refs to fill it)")
+    ap.add_argument("--deadline", type=float, default=3000.0,
+                    help="soft wall-clock budget in seconds: stages that "
+                         "would start after this is spent are skipped "
+                         "with a log line; the final JSON always prints")
     ap.add_argument("--primary-only", action="store_true",
                     help="skip the secondary (level-sweep and full-model) "
                          "tracking runs")
@@ -526,6 +582,14 @@ def main():
         args.powerup = "steady" if args.sweep == "pots" else "safe"
     if args.no_parity:
         args.parity_lanes = 0
+    if args.df_solve and args.df_polish not in ("plain_final", "final",
+                                                "full"):
+        # FusedRunner gates df_solve on a df verdict tier; without this
+        # guard a --df-solve run would silently report comp_final numbers
+        log(f"--df-solve requires a df verdict tier (plain_final/final/"
+            f"full); got --df-polish {args.df_polish}. Forcing "
+            "plain_final so the flag measures what it says.")
+        args.df_polish = "plain_final"
 
     if args.gen_refs:
         os.environ.pop("PALLAS_AXON_POOL_IPS", None)
@@ -545,6 +609,7 @@ def main():
         args.powerup = "safe"
         args.reps = 1
         args.parity_lanes = min(args.parity_lanes, 2)
+        args.compute_refs = True  # tiny T: refs are cheap, keys unique
 
     import numpy as np
 
@@ -580,6 +645,7 @@ def main():
             args.powerup = "safe"
             args.reps = 1
             args.parity_lanes = min(args.parity_lanes, 2)
+            args.compute_refs = True
 
     import jax
 
@@ -593,18 +659,43 @@ def main():
     if tpu_unavailable:
         extras["tpu_unavailable"] = True
     t_start = time.time()
+    # Budget clock (round-4 lesson: the driver's timed run must ALWAYS
+    # produce the JSON line).  compare-verdict runs are explicitly
+    # opted-in extra measurement, so their cost doesn't count against
+    # the secondary stages' budget (tracked in t_exempt).
+    t_exempt = [0.0]
+
+    def over_budget(label):
+        spent = time.time() - t_start - t_exempt[0]
+        if spent > args.deadline:
+            log(f"{label} SKIPPED ({spent:.0f}s spent > --deadline "
+                f"{args.deadline:.0f}s soft budget)")
+            return True
+        return False
 
     if args.engine == "fused":
-        primary = run_fused(args, args.sweep, args.model, L, args.reps,
-                            args.parity_lanes, "primary")
-        rt_per_lane = primary.pop("rt")
-        extras.update(primary)
+        try:
+            primary = run_fused(args, args.sweep, args.model, L, args.reps,
+                                args.parity_lanes, "primary")
+            rt_per_lane = primary.pop("rt")
+            extras.update(primary)
+        except Exception as e:
+            # even a dead primary must produce the JSON line (round-4
+            # lesson); value null + error beats a silent rc!=0
+            log(f"[primary] FAILED: {e!r}")
+            import traceback
+            traceback.print_exc(file=sys.stderr)
+            rt_per_lane = None
+            extras["primary_error"] = repr(e)[:300]
+            args.compare_verdicts = False
+            args.primary_only = True
         if args.compare_verdicts and not args.smoke:
             # verdict-tier comparison on the primary workload (same seeds,
             # same parity references -- the run protocol is identical, so
             # windows line up): comp_final (the production default above)
             # vs the full-df verdict vs the df-elimination verdict
             import copy
+            t_cmp = time.time()
             for name, over in (
                     ("plainfinal", dict(df_polish="plain_final")),
                     ("dfsolve", dict(df_polish="plain_final",
@@ -613,57 +704,58 @@ def main():
                 for k, v in over.items():
                     setattr(a3, k.replace("-", "_"), v)
                 r = run_fused(a3, args.sweep, args.model, L, args.reps,
-                              args.parity_lanes, name,
-                              parity_cached_only=True)
+                              args.parity_lanes, name)
                 extras[f"{name}_rt"] = r["rt"]
                 if "parity_steady_db" in r:
                     extras[f"{name}_parity_db"] = r["parity_db"]
                     extras[f"{name}_parity_steady_db"] = \
                         r["parity_steady_db"]
+            t_exempt[0] += time.time() - t_cmp
         # secondary tracked numbers (VERDICT r3 asks 2/6/7): the round-3
         # input-level sweep and the reference-faithful un-decomposed
-        # superover keep measured numbers next to the headline.  Skipped
-        # if the primary already consumed the soft time budget (logged --
-        # no silent caps).
+        # superover keep measured numbers next to the headline.  Each
+        # stage is individually budget-gated (logged -- no silent caps);
+        # a failure in one records the error and moves on.
         if not args.primary_only and not args.smoke:
-            elapsed = time.time() - t_start
-            if elapsed > 2400:
-                log(f"secondary runs SKIPPED (primary took {elapsed:.0f}s "
-                    "> 2400s soft budget); re-run with caches warm or "
-                    "--primary-only to silence")
-                extras["secondary_skipped"] = True
-            else:
-                import copy
-                a2 = copy.copy(args)
-                a2.powerup = "safe"
-                lvl = run_fused(a2, "level", "chain", L, 2,
-                                min(args.parity_lanes, 16), "level",
-                                parity_cached_only=True)
-                extras["level_rt"] = lvl["rt"]
-                if "parity_steady_db" in lvl:
-                    extras["level_parity_db"] = lvl["parity_db"]
-                    extras["level_parity_steady_db"] = \
-                        lvl["parity_steady_db"]
-                full = run_fused(a2, "level", "full", L, 2,
-                                 min(args.parity_lanes, 8), "full",
-                                 parity_cached_only=True)
-                extras["full_rt"] = full["rt"]
-                if "parity_steady_db" in full:
-                    extras["full_parity_db"] = full["parity_db"]
-                    extras["full_parity_steady_db"] = \
-                        full["parity_steady_db"]
-                # lane-scaling curve (level sweep, no parity): RT/lane at
-                # the other lane counts so the throughput-vs-latency
-                # trade-off is a tracked number, not a README-only table
-                for Ls in (1024, 8192, 16384):
-                    if time.time() - t_start > 2400:
-                        log(f"lane-scaling run at {Ls} SKIPPED (soft "
-                            "time budget)")
-                        extras[f"level_rt_{Ls}"] = None
-                        continue
+            import copy
+            a2 = copy.copy(args)
+            a2.powerup = "safe"
+            for label, sw, var, reps2, K in (
+                    ("level", "level", "chain", 2,
+                     min(args.parity_lanes, 16)),
+                    ("full", "level", "full", 2,
+                     min(args.parity_lanes, 8))):
+                if over_budget(f"secondary run '{label}'"):
+                    extras["secondary_skipped"] = True
+                    break
+                try:
+                    r = run_fused(a2, sw, var, L, reps2, K, label)
+                except Exception as e:  # record, keep the JSON coming
+                    log(f"[{label}] FAILED: {e!r}")
+                    extras[f"{label}_error"] = repr(e)[:200]
+                    continue
+                extras[f"{label}_rt"] = r["rt"]
+                if "parity_steady_db" in r:
+                    extras[f"{label}_parity_db"] = r["parity_db"]
+                    extras[f"{label}_parity_steady_db"] = \
+                        r["parity_steady_db"]
+            # lane-scaling curve (level sweep, no parity): RT/lane at
+            # the other lane counts so the throughput-vs-latency
+            # trade-off is a tracked number, not a README-only table.
+            # 128..1024 map the latency frontier (VERDICT r4 ask #4);
+            # 8192/16384 map the saturation side.
+            for Ls in (128, 256, 512, 1024, 8192, 16384):
+                if over_budget(f"lane-scaling run at {Ls}"):
+                    extras[f"level_rt_{Ls}"] = None
+                    continue
+                try:
                     sc = run_fused(a2, "level", "chain", Ls, 2, 0,
                                    f"scale{Ls}")
                     extras[f"level_rt_{Ls}"] = sc["rt"]
+                except Exception as e:
+                    log(f"[scale{Ls}] FAILED: {e!r}")
+                    extras[f"level_rt_{Ls}"] = None
+                    extras[f"level_rt_{Ls}_error"] = repr(e)[:200]
     else:
         if args.sweep != "pots":
             raise SystemExit("--engine scan supports --sweep pots only")
@@ -710,9 +802,10 @@ def main():
                   f"{'fused float32 kernel' if args.engine == 'fused' else 'float64 scan engine'}"
                   + (", per-lane steady-seeded"
                      if args.powerup == "steady" else ""),
-        "value": round(rt_per_lane, 3),
+        "value": None if rt_per_lane is None else round(rt_per_lane, 3),
         "unit": "x realtime per lane",
-        "vs_baseline": round(rt_per_lane / 100.0, 4),
+        "vs_baseline": None if rt_per_lane is None
+        else round(rt_per_lane / 100.0, 4),
         **extras,
     }))
 

@@ -449,3 +449,48 @@ def test_fused_df_solve_wiring(clipper_ref):
     ref = np.max(np.abs(y64))
     assert 20 * np.log10(err / ref) < -100
     assert int(np.asarray(info.fails).sum()) == 0
+
+
+def test_fused_acceptance_guards(clipper_ref):
+    """Round-5 soundness guards on the above-gate (floor-stall) acceptance
+    and the extrapolated warm start, pinned by the circuit that exposed
+    them: an ideal current source driving a lone diode.
+
+    * Small REVERSE current (-1e-5 A, beyond saturation): no root, flat
+      residual ~1e-5 -- small enough for the 1e3*gate stall ceiling, so
+      only the z-plausibility guard stands between this and a silent
+      acceptance while z walks out of the physical range.  Must stay a
+      FAIL (reference warn path, ACME.jl:688-691), floored == 0, output
+      finite (zw substitution).
+    * FORWARD 1 A: a root exists at v = 0.691.  Round 4 'passed' this
+      with z = 2.5e10 -- the extrapolated warm start jumped res/J ~ 1e10
+      off the operating point and the clamped-exponential plateau
+      (elements._exp) made the residual constant, which the un-ceilinged
+      floor-stall latch then self-certified.  With the jump capped at one
+      trust region and the latch ceilinged, the kernel must now actually
+      CONVERGE to the host's answer with zero fails and zero floored."""
+    circ = A.Circuit()
+    circ.add("d", A.diode())
+    circ.add("src", A.currentsource())
+    circ.connect(("src", "+"), ("d", "+"))
+    circ.connect(("src", "-"), ("d", "-"))
+    circ.add("probe", A.voltageprobe())
+    circ.connect(("probe", "+"), ("d", "+"))
+    circ.connect(("probe", "-"), ("d", "-"))
+    fr = FusedRunner(A.DiscreteModel(circ, 1), newton_iters=8,
+                     interpret=True, time_chunk=8)
+    u = np.full((1, 4), -1e-5)
+    with pytest.warns(UserWarning, match="missed the acceptance gate"):
+        y, st, info = fr.run(u, np.zeros((128, 0)))
+    assert np.all(np.isfinite(np.asarray(y)))
+    assert int(np.asarray(info.fails).min()) >= 1
+    assert int(np.asarray(info.floored).max()) == 0
+    # forward drive: true convergence to the host solution
+    fr2 = FusedRunner(A.DiscreteModel(circ, 1), newton_iters=8,
+                      interpret=True, time_chunk=8)
+    y2, st2, info2 = fr2.run(np.ones((1, 4)), np.zeros((128, 0)))
+    assert int(np.asarray(info2.fails).max()) == 0
+    assert int(np.asarray(info2.floored).max()) == 0
+    mh = A.DiscreteModel(circ, 1)
+    yh = A.run(mh, np.ones((1, 4)))
+    assert np.allclose(np.asarray(y2)[0, 0], yh[0], atol=1e-5)
