@@ -29,13 +29,51 @@ _INF = float("inf")
 
 
 
+# Junction-limiting knee and linear-tail extent.  The knee must satisfy
+# exp(knee)*(1 + TAIL) < 8.3e34: double-float arithmetic (ops/dfmath.py)
+# Dekker-splits every product operand as 4097*a, which overflows float32
+# (and NaN-poisons the EFT) beyond ~8.3e34 -- see dfmath._split.  The
+# production kernel's compensated verdict runs the SAME element physics
+# in df, so the limited exponential must stay representable there:
+# exp(73)*(1+512) = 2.6e34 leaves a 3x margin, and exp(73) = 5e31 is
+# still ~30 decades beyond any physical junction operating point.
+_EXP_KNEE = 73.0
+_EXP_TAIL = 512.0
+
+
 def _exp(xp, arg):
-    """exp with the argument clamped at 80: beyond any physical operating
-    point for junction equations (exp(80)=5.5e34), but keeps overshooting
-    Newton iterates finite in float32 (overflow at ~88.7) so the iteration
-    can recover by walking back instead of poisoning the lane.  The float64
-    host path is unaffected below the clamp."""
-    return xp.exp(xp.minimum(arg, 80.0))
+    """exp, linearly extrapolated above arg = _EXP_KNEE (junction
+    limiting): exp(K) * (1 + (arg - K)) -- C^1-continuous, finite in
+    float32 AND under the double-float Dekker-split operand bound (see
+    _EXP_KNEE above), and beyond any physical operating point.
+    See _exp_pair for why a flat clamp here was a measured solver trap."""
+    ex = xp.exp(xp.minimum(arg, _EXP_KNEE))
+    return xp.where(arg > _EXP_KNEE,
+                    ex * (1.0 + xp.minimum(arg - _EXP_KNEE, _EXP_TAIL)), ex)
+
+
+def _exp_pair(xp, arg):
+    """(value, derivative) of the limited exponential _exp -- the
+    derivative is the TRUE slope of the limited function (exp(K),
+    constant, on the linear tail), NOT vt_inv*value.
+
+    This is the actual SPICE junction-limiting trick and it matters for
+    Newton: on a pure (or flat-clamped) exponential an overshooting
+    iterate walks back at ~vt per step because value/derivative == vt
+    everywhere -- a multi-volt overshoot then costs ~40-100 'no progress'
+    iterations, which the fused kernel's plateau exit (6 strikes) reads
+    as a stall and dumps into rescue tiers that starve the same way (the
+    round-4 pots-grid traversal fails, _diag_fails.py; the f64 host only
+    survived by its 500-iteration patience, solvers.jl:205).  With the
+    tail's true constant derivative, Newton solves the linear tail
+    EXACTLY: one step lands at the knee, one or two more finish.
+    Solutions never sit above the knee, so converged results are
+    identical."""
+    ex = xp.exp(xp.minimum(arg, _EXP_KNEE))
+    over = arg > _EXP_KNEE
+    val = xp.where(over,
+                   ex * (1.0 + xp.minimum(arg - _EXP_KNEE, _EXP_TAIL)), ex)
+    return val, xp.where(over, ex, val)
 
 def _evalpoly(xp, x, coeffs):
     """Horner evaluation of sum(coeffs[k] * x**k)."""
@@ -269,9 +307,9 @@ def diode(*, is_=1e-12, eta=1.0, **aliases):
 
     def fn(xp, q):
         v, i = q[0], q[1]
-        ex = _exp(xp, v * vt_inv)
+        ex, exd = _exp_pair(xp, v * vt_inv)
         res = xp.stack([is_ * (ex - 1.0) - i])
-        J = xp.stack([xp.stack([is_ * vt_inv * ex, -xp.ones_like(v)])])
+        J = xp.stack([xp.stack([is_ * vt_inv * exd, -xp.ones_like(v)])])
         return res, J
 
     return Element(mv=[[1], [0]], mi=[[0], [1]], mq=[[-1, 0], [0, -1]],
@@ -342,12 +380,12 @@ def bjt(typ, *, is_=1e-12, eta=1.0, isc=None, ise=None, etac=None, etae=None,
 
     def fn(xp, q):
         vE, vC, iE, iC = q[0], q[1], q[2], q[3]
-        expE = _exp(xp, vE * cE)
-        expC = _exp(xp, vC * cC)
+        expE, exdE = _exp_pair(xp, vE * cE)
+        expC, exdC = _exp_pair(xp, vC * cC)
         i_f = kf * (expE - 1.0)
         i_r = kr * (expC - 1.0)
-        di_f1 = kf * cE * expE
-        di_r2 = kr * cC * expC
+        di_f1 = kf * cE * exdE
+        di_r2 = kr * cC * exdC
         if not has_early and not has_knee:
             i_cc = i_f - i_r
             di_cc1 = di_f1
@@ -387,15 +425,17 @@ def bjt(typ, *, is_=1e-12, eta=1.0, isc=None, ise=None, etac=None, etae=None,
         iBE = (1.0 / bf) * i_f
         diBE1 = (1.0 / bf) * di_f1
         if ile != 0.0:
-            expEl = _exp(xp, vE * (1.0 / (25e-3 * etael))) if etael != etae else expE
+            expEl, exdEl = (_exp_pair(xp, vE * (1.0 / (25e-3 * etael)))
+                            if etael != etae else (expE, exdE))
             iBE = iBE + ile * (expEl - 1.0)
-            diBE1 = diBE1 + (ile / (25e-3 * etael)) * expEl
+            diBE1 = diBE1 + (ile / (25e-3 * etael)) * exdEl
         iBC = (1.0 / br) * i_r
         diBC2 = (1.0 / br) * di_r2
         if ilc != 0.0:
-            expCl = _exp(xp, vC * (1.0 / (25e-3 * etacl))) if etacl != etac else expC
+            expCl, exdCl = (_exp_pair(xp, vC * (1.0 / (25e-3 * etacl)))
+                            if etacl != etac else (expC, exdC))
             iBC = iBC + ilc * (expCl - 1.0)
-            diBC2 = diBC2 + (ilc / (25e-3 * etacl)) * expCl
+            diBC2 = diBC2 + (ilc / (25e-3 * etacl)) * exdCl
         one = xp.ones_like(vE)
         zero = xp.zeros_like(vE)
         res = xp.stack([i_cc + iBE - iE, -i_cc + iBC - iC])

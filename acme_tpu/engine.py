@@ -159,7 +159,7 @@ class CompiledModel:
         return {"x": x, "warms": warms}
 
     def steady_initial_state(self, lane_values=None, lane_input_idx=(),
-                             runin: int = 512):
+                             runin: int = 4096):
         """Per-lane steady scan carry: every lane starts at the steady
         state of ITS OWN constant inputs, computed host-side by
         :func:`acme_tpu.runtime.steadystate_sweep` (reference analog:

@@ -226,10 +226,31 @@ def reduce_pdims(mats):
         if pexp2.shape[1] < pexps[idx].shape[1]:
             cols = slice(offset, offset + nn)
             fold = np.dot(fq_pinv, pexps[idx])
-            mats["a"] = mats["a"] - np.dot(np.dot(mats["c"][:, cols], fold), dqs[idx])
-            mats["b"] = mats["b"] - np.dot(np.dot(mats["c"][:, cols], fold), eqs[idx])
-            mats["dy"] = mats["dy"] - np.dot(np.dot(mats["fy"][:, cols], fold), dqs[idx])
-            mats["ey"] = mats["ey"] - np.dot(np.dot(mats["fy"][:, cols], fold), eqs[idx])
+            c_fold = np.dot(mats["c"][:, cols], fold)
+            fy_fold = np.dot(mats["fy"][:, cols], fold)
+            mats["a"] = mats["a"] - np.dot(c_fold, dqs[idx])
+            mats["b"] = mats["b"] - np.dot(c_fold, eqs[idx])
+            mats["dy"] = mats["dy"] - np.dot(fy_fold, dqs[idx])
+            mats["ey"] = mats["ey"] - np.dot(fy_fold, eqs[idx])
+            # the z change from the projection is -fold*(dq x + eq u +
+            # fqprev z_prev); the x and u parts fold into A/B/Dy/Ey above
+            # and the z_prev part into LATER subsystems' couplings below
+            # -- but the z_prev part must ALSO fold into the direct C and
+            # FY consumers of THIS subsystem's z, or every x-update and
+            # output that reads it loses the earlier subsystems'
+            # contribution.  The reference omits these two lines
+            # (ACME.jl:427-431) and its own test never validates the
+            # decomposed varying-pot output (runtests.jl:792-793 "TODO:
+            # further validate y"); the omission silently killed ~99% of
+            # the audio on the varying-pot superover chain (measured:
+            # decomposed output 6e-3 vs 0.56 undecomposed; they agree
+            # after the fix).  Fixed-pot decompositions were unaffected
+            # because their reduced subsystems have no earlier-z
+            # coupling (fqprev[:, :offset] = 0).
+            mats["c"][:, :offset] = mats["c"][:, :offset] \
+                - np.dot(c_fold, fqprevs[idx][:, :offset])
+            mats["fy"][:, :offset] = mats["fy"][:, :offset] \
+                - np.dot(fy_fold, fqprevs[idx][:, :offset])
             for idx2 in range(idx + 1, subcount):
                 q = np.dot(np.dot(mats["fqprev_fulls"][idx2][:, cols], fq_pinv), pexps[idx])
                 mats["dq_fulls"][idx2] = mats["dq_fulls"][idx2] - np.dot(q, dqs[idx])

@@ -933,6 +933,7 @@ class FusedRunner:
         pivot = self.pivot
         diag_subfails = getattr(self, "diag_subfails", False)
         diag_failres = getattr(self, "diag_failres", False)
+        diag_failmask = getattr(self, "diag_failmask", False)
 
         def kernel(u_ref, lane_ref, tol_ref, gate_ref, ch_ref, cl_ref,
                    x_in, xlo_in, z_in, zlo_in, zw_in, wp_in, dzdp_in,
@@ -1091,8 +1092,13 @@ class FusedRunner:
                             for i2 in range(np_k):
                                 term = dzdp_s[do + i1 * np_k + i2] * dp[i2]
                                 acc = term if acc is None else acc + term
+                            # 4 trust regions: power-up transients move z
+                            # by a few units per sample legitimately (a
+                            # 1x cap stranded a cold lane permanently);
+                            # the pathological jump this guards against
+                            # was ~1e10
                             z0.append(zw_s[o + i1] + jnp.clip(
-                                acc, -zclip[i1], zclip[i1]))
+                                acc, -4.0 * zclip[i1], 4.0 * zclip[i1]))
                     else:
                         z0 = [zw_s[o + i1] for i1 in range(nn_k)]
                     z0s = jnp.stack([jnp.broadcast_to(
@@ -1755,9 +1761,14 @@ class FusedRunner:
                                          & (resmax_c >= tol_pol)
                                          & (resmax_c < 1e3 * gate_eff_f))
                                 .astype(jnp.float32))
-                            act = fin & ((k == 0)
-                                         | ((resmax_c >= tol_pol)
-                                            & (pfrz < 0.5)))
+                            # already-converged guard on the mandatory
+                            # first step too (round 5): at a cond spike
+                            # the "classic free last step" from a point
+                            # already below the polish target is a bomb
+                            # (J near-singular, dz garbage at full clip);
+                            # a lane below tol_pol keeps its z.
+                            act = fin & (resmax_c >= tol_pol) \
+                                & ((k == 0) | (pfrz < 0.5))
                             zp = jnp.stack([
                                 jnp.where(act, zs_c[ai] - jnp.clip(
                                     dz[ai], -zclip[ai], zclip[ai]),
@@ -1814,15 +1825,23 @@ class FusedRunner:
                             tp = jnp.where(finf, tpf, tp)
                             # final step via two_sum: hi is the f32 new z,
                             # lo the EXACT subtraction remainder -- the z
-                            # carry's lo channel (see z_lo_all above)
+                            # carry's lo channel (see z_lo_all above).
+                            # Already-converged guard (round 5): the
+                            # verdict's free step is skipped for lanes
+                            # whose pre-step df residual is already below
+                            # the polish target -- at a cond spike even
+                            # the refined solve's direction is garbage,
+                            # and stepping a converged lane only poisons
+                            # it (the round-4 phase-locked fails).
+                            vstep = finf & (rm_df >= tpf)
                             zp_n, zlo_n = [], []
                             for ai in range(nn_k):
                                 dzc = jnp.clip(dzf[ai], -zclip[ai],
                                                zclip[ai])
                                 hi2, lo2 = _two_sum(zp[ai], -dzc)
-                                zp_n.append(jnp.where(finf, hi2, zp[ai]))
+                                zp_n.append(jnp.where(vstep, hi2, zp[ai]))
                                 zlo_n.append(jnp.where(
-                                    finf, lo2, jnp.zeros_like(lo2)))
+                                    vstep, lo2, jnp.zeros_like(lo2)))
                             zp = jnp.stack(zp_n)
                             zlo = jnp.stack(zlo_n)
                             rm = jnp.where(finf, rm_df, rm)
@@ -1839,24 +1858,41 @@ class FusedRunner:
 
                     if fast > 0 or pol_only:
                         # unguarded fast path: ``fast`` plain Newton steps
-                        # with no masks, gates or reductions at all -- the
-                        # polish residual is the verification.  Lanes it
-                        # fails (transients, branch changes) fall into the
+                        # with no cross-lane reductions -- the polish
+                        # residual is the verification.  Lanes it fails
+                        # (transients, branch changes) fall into the
                         # robust while-loop path, re-polished after.
                         # (polish_only: zero fast steps -- the extrapolated
                         # start goes straight into the polish, whose
                         # mandatory first step is the sample's Newton step.)
+                        #
+                        # ALREADY-CONVERGED GUARD (round 5): a lane whose
+                        # warm start is already below the lane tolerance
+                        # takes NO step.  At a cond(J) spike (measured
+                        # 1e10-1e13 on the pots grid at specific swing
+                        # phases, _diag_replay.py) the Newton step from a
+                        # CONVERGED point is garbage along the near-null
+                        # direction -- one blind step threw the iterate
+                        # O(1) away and the recovery needs ~15 wandering
+                        # iterations no later tier performs; this was the
+                        # entire round-4 phase-locked fail population.
+                        # The guard is elementwise (per-lane max over the
+                        # nn rows): the fast path stays reduction-free.
                         zs_cur = z0s
                         for _ in range(fast):
                             zc = [zs_cur[i1] for i1 in range(nn_k)]
                             res_f, J_f, _, _, _, _ = eval_at(zc, False,
                                                           stats=False)
+                            rmf = jnp.abs(res_f[0])
+                            for ai in range(1, nn_k):
+                                rmf = jnp.maximum(rmf, jnp.abs(res_f[ai]))
                             dzf = _solve_rows(
                                 J_f, [[res_f[ai] for ai in range(nn_k)]],
                                 refine=0, pivot=pivot)[0]
                             okf = jnp.isfinite(dzf[0])
                             for ai in range(1, nn_k):
                                 okf = okf & jnp.isfinite(dzf[ai])
+                            okf = okf & (rmf >= ltol_v)
                             zs_cur = jnp.stack([
                                 jnp.where(okf, zc[ai] - jnp.clip(
                                     dzf[ai], -zclip[ai], zclip[ai]), zc[ai])
@@ -2099,6 +2135,12 @@ class FusedRunner:
                         acc = dotv(fy[oi], z_all, acc)
                         val = cval(y0[oi]) if acc is None \
                             else acc + cval(y0[oi])
+                    if diag_failmask and oi == 0:
+                        # diag_failmask: row 0 of y carries the per-sample
+                        # fail mask instead of the output -- the only way
+                        # to see WHICH samples fail (FusedInfo only counts)
+                        val = any_fail.astype(jnp.float32) \
+                            if any_fail is not None else val * 0.0
                     y_ref[t, oi] = jnp.broadcast_to(
                         jnp.asarray(val, jnp.float32), y_ref.shape[2:])
                 if dfs:
@@ -2396,7 +2438,7 @@ class FusedRunner:
                 "pmode": jnp.zeros((max(self.nsub, 1), S, LANE),
                                    jnp.float32)}
 
-    def steady_initial_state(self, lane_values, runin: int = 512,
+    def steady_initial_state(self, lane_values, runin: int = 4096,
                              rounds: int = 12):
         """Per-lane steady start: every lane begins at the steady state of
         ITS OWN constant inputs (pot positions, trims), computed host-side

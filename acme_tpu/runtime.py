@@ -334,7 +334,7 @@ def _solve_sub_batch(model, idx, p, z0, tol=1e-10, maxiter=200):
     return best_z, conv, Jq
 
 
-def steadystate_sweep(model: DiscreteModel, u_lanes, runin: int = 512,
+def steadystate_sweep(model: DiscreteModel, u_lanes, runin: int = 4096,
                       rounds: int = 12, ramp: int = 64, attempts: int = 3,
                       solve_tol: float = 1e-10, host_verify: int = 16,
                       return_floors: bool = False):

@@ -224,9 +224,16 @@ def _parity_refs(args, sweep, variant, T, reps, powerup, lanes_sel,
         lv, d, tn = lane_params(i)
         tag = "_steady" if powerup == "steady" else ""
         # scan2: references at oracle tol=1e-12 (scan1 keys carried the
-        # reference-faithful 1e-10 solver's own -92 dB noise)
-        return ("scan2_{}_{}_fs{}_T{}_r{}_lv{:.6f}_d{:.6f}_t{:.6f}{}"
-                .format(sweep, variant, args.fs, T, reps, lv, d, tn, tag))
+        # reference-faithful 1e-10 solver's own -92 dB noise).
+        # scan3 (pots sweep only): the round-5 reduce_pdims fold fix
+        # changed the varying-pot model -- scan2 pots refs were computed
+        # on a model whose output row read a dead z component (constant
+        # ~1e-23 "steady" series).  Fixed-pot models (the level sweeps)
+        # are unaffected, so their scan2 keys stay valid.
+        ver = "scan3" if sweep == "pots" else "scan2"
+        return ("{}_{}_{}_fs{}_T{}_r{}_lv{:.6f}_d{:.6f}_t{:.6f}{}"
+                .format(ver, sweep, variant, args.fs, T, reps, lv, d, tn,
+                        tag))
 
     missing = [i for i in lanes_sel if lanekey(i) + "_pw" not in cache]
     t0 = time.time()
@@ -273,7 +280,10 @@ def _parity_refs(args, sweep, variant, T, reps, powerup, lanes_sel,
 # (same convention as the scan1->scan2 bump in _parity_refs lanekey) --
 # the committed .steadyseed_cache.npz would otherwise be silently reused
 # with stale state/floors.
-SEED_TAG_VER = "seed1"
+# seed2: the round-5 reduce_pdims fold fix changed the varying-pot
+# (pots-sweep) model matrices -- seed1 seeds were computed on a model
+# whose output row read a dead z component.
+SEED_TAG_VER = "seed2"
 
 
 def _steady_seed_cached(fr, lane_values, tag):
@@ -459,6 +469,15 @@ def gen_refs(args):
     args.gen_refs = True
     T = max(16, int(round(args.seconds * args.fs)))
     L = args.lanes
+    if (args.reps, args.powerup, args.parity_lanes) != (5, "steady", 16):
+        # the job matrix below hardcodes the DEFAULT bench config; a
+        # non-default run produces different cache keys and would
+        # quietly score parity on a shrunken subset (ADVICE r4)
+        log(f"gen-refs WARNING: non-default --reps/--powerup/"
+            f"--parity-lanes ({args.reps}/{args.powerup}/"
+            f"{args.parity_lanes}); the job matrix covers the DEFAULT "
+            "bench configuration -- a bench run with these flags may "
+            "miss cache keys")
     jobs = [
         ("pots", args.model, args.reps, "steady",
          min(args.parity_lanes, 16)),

@@ -46,14 +46,36 @@ def cases():
     # tau is 30k-150k samples) and a 300-sample cold trace is degenerate.
     yield ("superover", M.superover_model(drive=1.0, tone=1.0, level=1.0,
                                           fs=FS), 0.2 * sine, True)
+    # pots-AS-INPUTS superover (variable pots, the flagship bench axis;
+    # reference fixture np=11, test/runtests.jl:777): drive/tone corner
+    # traces so the varying-pot element path
+    # (/root/reference/src/elements.jl:20-31) has an independent anchor
+    # too.  Un-decomposed variant: single subsystem, no decomposition
+    # multi-root ambiguity, and I - A stays invertible for
+    # golden_steadystate's folded solve.  Steady at each corner's own
+    # constant pot inputs (u rows: 0 = audio, 1 = drive, 2 = tone).
+    for cname, dr, tn in (("pots_lo", 0.05, 0.05),
+                          ("pots_mid", 0.5, 0.5),
+                          ("pots_hi", 0.95, 0.95)):
+        mv = M.superover_model(level=1.0, fs=FS)
+        uv = np.vstack([0.2 * sine,
+                        np.full((1, T), dr), np.full((1, T), tn)])
+        yield (f"superover_{cname}", mv, uv, np.array([0.0, dr, tn]))
 
 
 def main():
+    only = set(sys.argv[1:])       # generate.py [name ...] regenerates a subset
     for name, model, u, steady in cases():
+        if only and name not in only:
+            continue
         t0 = time.time()
         extra = {}
-        if steady:
-            x_init, z_init = golden_steadystate(model, dps=50)
+        if steady is not False:
+            # True -> steady at u = 0; an array -> steady at that
+            # constant input (pots-corner traces)
+            u_const = None if steady is True else steady
+            x_init, z_init = golden_steadystate(model, u_const=u_const,
+                                                dps=50)
             extra = {"x_init": x_init, "z_init": z_init}
         y = golden_run(model, u, dps=50, **extra)
         np.savez_compressed(os.path.join(HERE, f"{name}.npz"),
@@ -61,7 +83,8 @@ def main():
                             y=y.astype(np.float64),
                             fs=FS, dps=50, **extra)
         print(f"{name}: T={u.shape[1]} ny={y.shape[0]} "
-              f"peak={np.max(np.abs(y)):.4f}  ({time.time()-t0:.1f}s)")
+              f"peak={np.max(np.abs(y)):.4f}  ({time.time()-t0:.1f}s)",
+              flush=True)
 
 
 if __name__ == "__main__":

@@ -45,7 +45,13 @@ def test_resistor_diode_operating_point():
     circ.connect(("r1", "1"), "supply")
     model = A.DiscreteModel(circ, 1)
     y = A.run(model, np.zeros((0, 1)))
-    assert y[0, 0] == pytest.approx(v_d, abs=1e-10)
+    # bound follows from the solver contract, not exactness: Newton stops
+    # at residual < 1e-10 A, and dv = res/(di/dv) with di/dv = (i+is)/vt
+    # = 0.04 A/V here gives ~2.5e-9 V of admissible slack (the previous
+    # 1e-10 bound only held by the accident of one particular iterate
+    # path; the round-5 junction limiting lands a different, equally
+    # converged final iterate)
+    assert y[0, 0] == pytest.approx(v_d, abs=2.5e-9)
 
 
 def test_programmatic_reconnection():

@@ -30,6 +30,13 @@ CASES = {
     "birdie": lambda: M.birdie_model(vol=0.8, fs=44100),
     "superover": lambda: M.superover_model(drive=1.0, tone=1.0, level=1.0,
                                            fs=44100),
+    # pots-AS-INPUTS superover corners (variable-pot element,
+    # /root/reference/src/elements.jl:20-31; np=11 fixture
+    # test/runtests.jl:777): the flagship bench axis gets its own
+    # independent anchors (VERDICT r4 ask #9)
+    "superover_pots_lo": lambda: M.superover_model(level=1.0, fs=44100),
+    "superover_pots_mid": lambda: M.superover_model(level=1.0, fs=44100),
+    "superover_pots_hi": lambda: M.superover_model(level=1.0, fs=44100),
 }
 
 

@@ -54,22 +54,24 @@ def test_steadystate_sweep_linear_model():
 
 
 @pytest.mark.slow
-def test_steadystate_sweep_chain_superover_certified_with_floor():
+def test_steadystate_sweep_chain_superover_certifies_floor_free():
     """The hard case: chain-decomposed superover (singular I - A, slow
     bias-rail modes with tau ~ 30k-150k samples; the reference marks its
-    steady state @test_broken, test/runtests.jl:763-764).  Measured root
-    cause: at the exact steady state the dead-zone subsystem -- both
-    junctions of the bias pair strongly reverse-biased -- has a residual
-    LOCAL MINIMUM of ~4e-4 in every direction: no root exists, NO solver
-    can reach tolerance, yet the dynamics are perfectly stationary
-    (drift ~1e-19) and the output is insensitive to the undetermined z
-    direction.  Round 3 refused to certify these lanes, which made
-    steady seeding useless on the pots grid (677/4096 certified).  The
-    round-4 contract is CERTIFIED-WITH-FLOOR: conv=True with the
-    measured per-subsystem residual floors returned, so consumers gate
-    their solvers at the floor instead of grinding a futile rescue
-    ladder per quiet sample; wrong-root latches are still rejected by
-    the host-run arbiter (output disagreement >> floor)."""
+    steady state @test_broken, test/runtests.jl:763-764).
+
+    History matters here: rounds 3-4 measured a ~4e-4 residual "dead
+    zone" at this model's steady state (bias pair reverse-biased, no
+    root) and built the certified-with-floor contract around it.  Round
+    5 root-caused the dead zone as an ARTIFACT of a model-derivation bug
+    (reduce_pdims omitted the earlier-z fold into the C/Fy consumers --
+    inherited from the reference, whose own varying-pot output check is
+    an open TODO, runtests.jl:792-793); on the fixed model the steady
+    state is an ordinary solver-reachable root and every lane certifies
+    with floors at f64 noise level (measured <= ~1e-10).  The
+    certified-with-floor machinery stays (return_floors, kernel gate
+    absorption) for genuinely floored circuits; this test now pins the
+    fixed model: certification at the default run-in with NO significant
+    floor."""
     circ = M.superover(level=1.0, vb_source=True)
     m = A.DiscreteModel(circ, Fraction(1, 44100))
     drives = np.array([0.50, 0.05])
@@ -77,14 +79,12 @@ def test_steadystate_sweep_chain_superover_certified_with_floor():
     u_lanes = np.stack([np.zeros(2), drives, tones], axis=1)
     with warnings.catch_warnings():
         warnings.simplefilter("ignore")
-        x, z, conv, floors = steadystate_sweep(m, u_lanes, runin=512,
+        x, z, conv, floors = steadystate_sweep(m, u_lanes,
                                                return_floors=True)
     assert np.isfinite(x).all() and np.isfinite(z).all()
-    assert conv.all()              # certified-with-floor (see docstring)
-    # the dead-zone subsystem's floor is real and reported (~4e-4);
-    # solver-reachable subsystems sit at/below tolerance scale
-    assert floors.max() > 1e-5
-    assert floors.max() < 1e-2
+    assert conv.all()
+    # no dead zone on the fixed model: floors sit at f64 solve noise
+    assert floors.max() < 1e-8
     for i in range(2):
         m.x[:] = x[i]
         with warnings.catch_warnings():
@@ -92,8 +92,14 @@ def test_steadystate_sweep_chain_superover_certified_with_floor():
             y = A.run(m, np.broadcast_to(u_lanes[i][:, None],
                                          (m.nu, 150)).copy())
         # the certified states are output-quiet under the host
-        # (period-2-aware: eigenvalue -1 alternation is on-orbit)
-        assert np.max(np.abs(y[:, 2:] - y[:, :-2])) < 1e-6
+        # (period-2-aware: eigenvalue -1 alternation is on-orbit).
+        # Bound 2e-5: the host solver lands on a z a solver-noise step
+        # away from the seeded point and relaxes with tau ~ 1e3 samples
+        # (measured excursion 3.2e-6 decaying to 2e-8 within the window;
+        # -94 dB of the ~1 V signal scale -- the same phenomenon
+        # test_steadystate_sweep_certifies_chain_superover_endstop
+        # documents), not a wrong-root latch (those sit volts away)
+        assert np.max(np.abs(y[:, 2:] - y[:, :-2])) < 2e-5
         assert np.max(np.abs(y[:, 0])) < 1e-3
 
 
@@ -211,12 +217,16 @@ def test_engine_steady_initial_state_birdie():
 
 @pytest.mark.slow
 def test_steadystate_sweep_512_lane_pots_grid():
-    """Production-scale smoke of the lane-batched steady machinery
-    (VERDICT r3 weak #6/#8): a 512-lane drive x tone grid must certify
-    the overwhelming majority of lanes under the certified-with-floor
-    contract (measured at 4096 lanes on the full grid: 4085/4096,
-    ~13 min; this 512-lane slice keeps CI within a couple of minutes)
-    and return finite states and floors for every lane."""
+    """Production-scale smoke of the lane-batched steady machinery: a
+    512-lane drive x tone grid must certify EVERY lane at the default
+    run-in and report floors at f64 solve noise.
+
+    On the round-5 fixed model (reduce_pdims earlier-z fold) the bias
+    rail settles with tau such that runin=256/512 certifies NOWHERE
+    (0/512 measured) while runin=4096 -- the new default -- certifies
+    4096/4096 on the full grid floor-free (seed-cache generation log,
+    floors max ~9e-11); the round-4 "4085/4096 with 4e-4 floors" numbers
+    were artifacts of the broken model."""
     circ = M.superover(level=1.0, vb_source=True)
     m = A.DiscreteModel(circ, Fraction(1, 44100))
     L = 512
@@ -226,11 +236,9 @@ def test_steadystate_sweep_512_lane_pots_grid():
     u_lanes = np.stack([np.zeros(L), drives, tones], axis=1)
     with warnings.catch_warnings():
         warnings.simplefilter("ignore")
-        x, z, conv, floors = steadystate_sweep(m, u_lanes, runin=256,
+        x, z, conv, floors = steadystate_sweep(m, u_lanes,
                                                return_floors=True)
     assert np.isfinite(x).all() and np.isfinite(z).all()
     assert np.isfinite(floors).all()
-    # the grid certifies almost everywhere; the genuinely bistable
-    # dead-zone corners that the host arbiter rejects are a small
-    # minority (measured: 11/4096 on the full grid)
-    assert conv.mean() > 0.95, f"only {conv.sum()}/{L} lanes certified"
+    assert conv.all(), f"only {conv.sum()}/{L} lanes certified"
+    assert floors.max() < 1e-8
