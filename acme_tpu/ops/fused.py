@@ -310,7 +310,7 @@ class FusedRunner:
                  rel_tol: float = None, rel_gate: float = None,
                  rel_tol_polish: float = None, polish_iters: int = 10,
                  polish_fixed: int = 0,
-                 df_polish: bool = True, df_solve: bool = False,
+                 df_polish: bool = True, df_solve="auto",
                  verdict_jac: str = "df", verdict_refine: int = None,
                  pivot: bool = True, group_lanes: int = 2048,
                  fast_iters: int = 0, fast_verify: str = "group",
@@ -499,10 +499,30 @@ class FusedRunner:
         # that can fix the RESIDUAL-INVISIBLE null-direction z error at
         # cond(J) spikes (pot end-stops): a f32 solve leaves the
         # near-null component of dz undetermined no matter how accurate
-        # the residual is.  For nn <= 2 subsystems (the production chain
-        # model) the df closed form costs ~10 extra df mults per sample.
-        self.df_solve = bool(df_solve) and \
-            self.df_polish in (True, "final", "plain_final")
+        # the residual is.  For nn <= 2 subsystems the df closed form
+        # costs ~10 extra df mults per sample; n >= 3 runs the df
+        # elimination.
+        #
+        # "auto" (the default): apply the df verdict solve ONLY to
+        # subsystems that are STRUCTURALLY ill-conditioned -- equilibrated
+        # cond(J) at the operating point above ~3e3 (sub_fragile, computed
+        # below).  The varying-pot superover's pot subsystem sits at
+        # equilibrated cond ~1e5-3e5 at EVERY operating point (pot rows
+        # mix unit-scale voltage entries with ~1e-7 conductances even
+        # after row/col scaling), so its f32-solved verdict step leaves a
+        # ~cond*eps32 ~ 1e-2 RELATIVE null-direction z error that the df
+        # residual cannot see -- measured as the round-5 pots-grid -36 dB
+        # parity wall, gone with the df solve.  Well-conditioned
+        # subsystems keep the cheap f32 verdict solve.  Unlike True,
+        # "auto" composes with the comp_final verdict tier: fragile
+        # subsystems' verdicts are promoted to full-df evaluation + df
+        # elimination, the rest stay compensated.
+        if df_solve == "auto":
+            self.df_solve = "auto" if self.df_polish in (
+                True, "final", "plain_final", "comp_final") else False
+        else:
+            self.df_solve = bool(df_solve) and \
+                self.df_polish in (True, "final", "plain_final")
         # verdict_jac="plain": the final df verdict evaluates only the
         # RESIDUAL in double-float physics; the Jacobian of the same point
         # comes from a plain-f32 physics call (whose own residual output is
@@ -517,7 +537,7 @@ class FusedRunner:
         if verdict_jac not in ("df", "plain"):
             raise ValueError(f"verdict_jac must be df|plain, "
                              f"got {verdict_jac!r}")
-        self.verdict_jac = "df" if self.df_solve else verdict_jac
+        self.verdict_jac = "df" if self.df_solve is True else verdict_jac
         # verdict_refine: iterative-refinement sweeps of the verdict
         # step's elimination (default: the runner-wide ``refine``).  The
         # verdict dz is itself a small correction, so its relative solve
@@ -669,6 +689,52 @@ class FusedRunner:
         self.gates = [max(p["gates"][k] for p in self._prep)
                       for k in range(self.nsub)]
         self.dzdp0 = p0["dzdp0"]
+        # Structural conditioning per subsystem (for df_solve="auto"): the
+        # EQUILIBRATED condition number of the Newton Jacobian at the
+        # operating point.  Row/col inf-norm scaling removes the unit
+        # disparity every audio circuit has (junction conductances vs unit
+        # voltage rows, cond ~1e8-1e13 raw); what survives equilibration
+        # is structural near-degeneracy -- e.g. the variable-pot
+        # subsystem's three near-parallel KCL rows distinguished only at
+        # the 1e-7-conductance level (equilibrated cond 1e5-3e5 at every
+        # operating point).  An f32-solved verdict step contracts the
+        # residual-invisible null-direction z error only by
+        # ~cond_eq * eps32 per step, so subsystems above ~3e3 need the df
+        # elimination to hold -100 dB output parity.
+        self.sub_fragile = []
+        self.sub_cond_eq = []
+        for kk in range(self.nsub):
+            ce_max = 0.0
+            for m, p in zip(self.models, self._prep):
+                nn_k = m.nn(kk)
+                if not nn_k:
+                    continue
+                with np.errstate(all="ignore"):
+                    _, Jq0 = m.nl_funcs[kk](np, p["q0"][kk])
+                    Je = np.asarray(Jq0 @ np.asarray(m.fqs[kk], float),
+                                    float)
+                    for _ in range(4):
+                        r = np.sqrt(np.abs(Je).max(1))
+                        r[(r == 0) | ~np.isfinite(r)] = 1.0
+                        Je = Je / r[:, None]
+                        c2 = np.sqrt(np.abs(Je).max(0))
+                        c2[(c2 == 0) | ~np.isfinite(c2)] = 1.0
+                        Je = Je / c2[None, :]
+                    try:
+                        ce = np.linalg.cond(Je)
+                    except np.linalg.LinAlgError:
+                        ce = np.inf
+                ce_max = max(ce_max, float(ce)) if np.isfinite(ce) \
+                    else np.inf
+            self.sub_cond_eq.append(ce_max)
+            # Threshold 100: the f32 verdict solve leaves a
+            # ~cond_eq * eps32 relative null/cancellation error in z
+            # (n == 2's closed form: the ad - bc determinant cancellation)
+            # -- at cond_eq 1.4e3 that measured 1.6e-4 absolute on the
+            # pots superover's output subsystem (-75 dB), while the df
+            # closed form for nn <= 2 costs ~10 df mults/sample.  Above
+            # 100 the df solve is worth it everywhere.
+            self.sub_fragile.append(ce_max > 100.0)
         self._merge_coefficients()
 
     def _floor_measure(self, kk, q64, comp=None, model=None):
@@ -1277,7 +1343,13 @@ class FusedRunner:
                     rel_gate_f = self.rel_gate if self.rel_gate is not None \
                         else (2.0e-6 if comp else 4.0e-6)
                     df_pol = self.df_polish
-                    df_slv = self.df_solve
+                    # per-subsystem verdict-solve precision: True = df
+                    # elimination everywhere; "auto" = only for
+                    # structurally ill-conditioned subsystems (see
+                    # sub_fragile in __init__)
+                    df_slv = (self.df_solve is True) or (
+                        self.df_solve == "auto"
+                        and self.sub_fragile[ksub])
                     comp_final = df_pol == "comp_final"
                     df_final = df_pol in ("final", "plain_final") \
                         or comp_final
@@ -1817,40 +1889,127 @@ class FusedRunner:
                             # verdict, its Newton step the final z (the
                             # classic free last step), its elimination the
                             # freshest dz/dp sensitivity
-                            vmode = True if comp_final else (
-                                "df" if vjac == "df" else "df_res")
-                            (dzf, colsf, rm_df, lgf, gff, tpf, _tl,
-                             finf) = \
-                                polish_eval(zp, mode=vmode, verdict=True)
-                            tp = jnp.where(finf, tpf, tp)
-                            # final step via two_sum: hi is the f32 new z,
-                            # lo the EXACT subtraction remainder -- the z
-                            # carry's lo channel (see z_lo_all above).
-                            # Already-converged guard (round 5): the
-                            # verdict's free step is skipped for lanes
-                            # whose pre-step df residual is already below
-                            # the polish target -- at a cond spike even
-                            # the refined solve's direction is garbage,
-                            # and stepping a converged lane only poisons
-                            # it (the round-4 phase-locked fails).
-                            vstep = finf & (rm_df >= tpf)
-                            zp_n, zlo_n = [], []
-                            for ai in range(nn_k):
-                                dzc = jnp.clip(dzf[ai], -zclip[ai],
-                                               zclip[ai])
-                                hi2, lo2 = _two_sum(zp[ai], -dzc)
-                                zp_n.append(jnp.where(vstep, hi2, zp[ai]))
-                                zlo_n.append(jnp.where(
-                                    vstep, lo2, jnp.zeros_like(lo2)))
-                            zp = jnp.stack(zp_n)
-                            zlo = jnp.stack(zlo_n)
-                            rm = jnp.where(finf, rm_df, rm)
-                            lg = jnp.where(finf, lgf, lg)
-                            gf = jnp.where(finf, gff, gf)
-                            cols = jnp.where(
-                                jnp.broadcast_to(finf, cols.shape),
-                                colsf, cols)
-                            k = k + 1
+                            # fragile subsystems (df_slv): the verdict is
+                            # promoted to full-df evaluation so the df
+                            # elimination has the df Jacobian it needs
+                            vmode = "df" if df_slv else (
+                                True if comp_final else (
+                                    "df" if vjac == "df" else "df_res"))
+                            def vd_pass(zp, zlo, cols, rm, lg, gf, tp, k):
+                                """One verdict pass: df-tier evaluation at
+                                zp, guarded final step, bookkeeping
+                                install.  Returns the updated state plus
+                                the PRE-step residual (the continuation
+                                test for the fold loop below)."""
+                                (dzf, colsf, rm_df, lgf, gff, tpf, _tl,
+                                 finf) = \
+                                    polish_eval(zp, mode=vmode,
+                                                verdict=True)
+                                tp = jnp.where(finf, tpf, tp)
+                                # final step via two_sum: hi is the f32
+                                # new z, lo the EXACT subtraction
+                                # remainder -- the z carry's lo channel
+                                # (see z_lo_all above).
+                                # Already-converged guard (round 5): the
+                                # verdict's free step is skipped for lanes
+                                # whose pre-step df residual is already
+                                # below the polish target -- at a cond
+                                # spike even the refined F32 solve's
+                                # direction is garbage, and stepping a
+                                # converged lane only poisons it (the
+                                # round-4 phase-locked fails).
+                                # EXCEPT with the df solve (df_slv): its
+                                # step is the exact correction for the
+                                # residual-invisible null-direction error
+                                # -- which lives BELOW the residual target
+                                # by construction -- so it must be applied
+                                # precisely when the guard would skip it
+                                # (zclip still bounds it).
+                                vstep = finf if df_slv \
+                                    else finf & (rm_df >= tpf)
+                                zp_n, zlo_n = [], []
+                                for ai in range(nn_k):
+                                    dzc = jnp.clip(dzf[ai], -zclip[ai],
+                                                   zclip[ai])
+                                    hi2, lo2 = _two_sum(zp[ai], -dzc)
+                                    zp_n.append(jnp.where(vstep, hi2,
+                                                          zp[ai]))
+                                    zlo_n.append(jnp.where(
+                                        vstep, lo2, jnp.zeros_like(lo2)))
+                                zp = jnp.stack(zp_n)
+                                zlo = jnp.stack(zlo_n)
+                                rm = jnp.where(finf, rm_df, rm)
+                                lg = jnp.where(finf, lgf, lg)
+                                gf = jnp.where(finf, gff, gf)
+                                cols = jnp.where(
+                                    jnp.broadcast_to(finf, cols.shape),
+                                    colsf, cols)
+                                return (zp, zlo, cols, rm, lg, gf, tp,
+                                        k + 1, rm_df)
+                            zlo = None
+                            (zp, zlo, cols, rm, lg, gf, tp, k,
+                             rm_df0) = vd_pass(zp, jnp.zeros_like(zp),
+                                               cols, rm, lg, gf, tp, k)
+                            if df_slv and self.sub_cond_eq[ksub] > 1e4:
+                                # FOLD CONTINUATION.  At the max-slew
+                                # cond(J) spikes this subsystem's Jacobian
+                                # is near a fold (sigma_min ~ 1e-7 ||J||):
+                                # the solution's z error scales as
+                                # sqrt(residual) there (measured on the
+                                # f64 scan engine: tol 1e-9 -> 5.6e-5,
+                                # 1e-10 -> 1.8e-5 output deviation from
+                                # the 1e-12 oracle), and Newton converges
+                                # LINEARLY (rate ~1/2), so the single
+                                # verdict step above leaves a phase-locked
+                                # ~1e-4 solution offset no residual gate
+                                # can see.  Iterate the df verdict until
+                                # the pre-step residual is under a target
+                                # deep enough for -100 dB z accuracy
+                                # (0.02 x the absolute tolerance anchor ~
+                                # 2e-11; the df evaluation floor ~1e-13 x
+                                # term scale sits below it), exiting early
+                                # when an iteration stops contracting
+                                # (floor-stuck lanes).  Ordinary samples
+                                # exit immediately: their first-step
+                                # residual is already at the df floor.
+                                vtgt = jnp.float32(0.02 * self.tol)
+
+                                def v_cond(st):
+                                    i_v, rm_prev, *_ = st
+                                    go = (rm_prev >= vtgt) \
+                                        & jnp.isfinite(rm_prev)
+                                    return (i_v < 9) & jnp.any(go)
+
+                                def v_body(st):
+                                    (i_v, rm_prev, zp, zlo, cols, rm, lg,
+                                     gf, tp, k) = st
+                                    (zp2, zlo2, cols2, rm2, lg2, gf2, tp2,
+                                     k2, rm_df) = vd_pass(
+                                        zp, zlo, cols, rm, lg, gf, tp, k)
+                                    # install only for lanes still above
+                                    # target AND still contracting
+                                    act = (rm_prev >= vtgt) \
+                                        & (rm_df <= 0.9 * rm_prev)
+                                    pick = lambda a, b: jnp.where(
+                                        jnp.broadcast_to(act, a.shape),
+                                        a, b)
+                                    return (i_v + 1,
+                                            jnp.where(act, rm_df,
+                                                      jnp.zeros_like(
+                                                          rm_df)),
+                                            pick(zp2, zp), pick(zlo2, zlo),
+                                            pick(cols2, cols),
+                                            jnp.where(act, rm2, rm),
+                                            jnp.where(act, lg2, lg),
+                                            jnp.where(act, gf2, gf),
+                                            jnp.where(act, tp2, tp),
+                                            jnp.maximum(k, k2))
+
+                                (_, _, zp, zlo, cols, rm, lg, gf, tp,
+                                 k) = jax.lax.while_loop(
+                                    v_cond, v_body,
+                                    (jnp.int32(0), rm_df0, zp, zlo, cols,
+                                     rm, lg, gf, tp, k))
                         else:
                             zlo = jnp.zeros_like(zp)
                         return (zp, zlo, cols, rm, rm1, tl1, lg, gf, tp,

@@ -225,12 +225,16 @@ def _parity_refs(args, sweep, variant, T, reps, powerup, lanes_sel,
         tag = "_steady" if powerup == "steady" else ""
         # scan2: references at oracle tol=1e-12 (scan1 keys carried the
         # reference-faithful 1e-10 solver's own -92 dB noise).
-        # scan3 (pots sweep only): the round-5 reduce_pdims fold fix
-        # changed the varying-pot model -- scan2 pots refs were computed
-        # on a model whose output row read a dead z component (constant
-        # ~1e-23 "steady" series).  Fixed-pot models (the level sweeps)
-        # are unaffected, so their scan2 keys stay valid.
-        ver = "scan3" if sweep == "pots" else "scan2"
+        # scan3: the round-5 reduce_pdims fold fix changed EVERY
+        # decomposed (chain) model -- the varying-pot one catastrophically
+        # (its output row read a dead z component), and the fixed-pot
+        # chain one measurably too (its reduced subsystems carry nonzero
+        # earlier-z couplings of 1e-4..4e-6, so the fold lines are not
+        # no-ops there either; measured: pre-fix level refs scored the
+        # post-fix kernel at +15 dB power-up).  Only the un-decomposed
+        # 'full' variant (single subsystem, offset 0) is untouched and
+        # keeps its scan2 keys.
+        ver = "scan2" if variant == "full" and sweep != "pots" else "scan3"
         return ("{}_{}_{}_fs{}_T{}_r{}_lv{:.6f}_d{:.6f}_t{:.6f}{}"
                 .format(ver, sweep, variant, args.fs, T, reps, lv, d, tn,
                         tag))
@@ -353,7 +357,8 @@ def run_fused(args, sweep, variant, L, reps, parity_lanes, label,
                      polish_fixed=args.polish_fixed,
                      verdict_refine=args.verdict_refine,
                      verdict_jac=args.verdict_jac,
-                     df_solve=getattr(args, "df_solve", False),
+                     df_solve=(True if getattr(args, "df_solve", False)
+                               else "auto"),
                      powerup=powerup, **lane_cfg)
     log(f"[{label}] runner build (centering + floors): "
         f"{time.time()-t0:.1f}s")
